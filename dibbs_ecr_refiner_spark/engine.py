@@ -1,0 +1,122 @@
+"""ReplayEngine: tail the change log batch-by-batch, refine, MERGE.
+
+The generalization of the reference's Lambda handler loop
+(refiner/app/lambda/lambda_function.py:150-345): one ingest batch ≙ one SQS
+delivery; the committed snapshot manifest ≙ RefinerComplete; a batch that
+fails before commit is retried from the checkpoint exactly like an SQS
+partial-batch failure (:303-341) — and is a no-op if it already committed.
+
+Also provides the single-shot batch-recompute **oracle** (sort → LWW →
+refine) used by the correctness gate: incremental replay and the oracle must
+produce identical final table states per FIXTURES.md §6.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lake.table import LakeTable
+from .operators import cdc
+from .operators.refine import compile_refinement
+from .plans.config import RefinePlan
+
+CHANGE_COLS = ("conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "change_lsn")
+
+
+@dataclass
+class ReplayStats:
+    batches: int = 0
+    batches_skipped: int = 0
+    events: int = 0
+    seconds: float = 0.0
+    lineage: list[dict] = field(default_factory=list)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events / self.seconds if self.seconds else 0.0
+
+
+def prepare_delta(changes: DataFrame, plan: RefinePlan) -> DataFrame:
+    """changes → merge-ready delta: dedup deliveries → LWW within the batch
+    → refinement pass on upsert winners → tombstone flags.
+
+    The whole thing is one Catalyst plan: scan → hash-agg (partial+final)
+    → codegen'd projection. No Python in the hot path.
+    """
+    deduped = cdc.dedup_deliveries(changes)
+    winners = cdc.lww_resolve(deduped)
+    refined = compile_refinement(plan)(winners)
+    # A turn is dead if the winning op is a delete OR refinement dropped it
+    # (wholesale-removed role / unmatched under a removing narrative).
+    return refined.withColumn(
+        "_deleted", (F.col("op") == "delete") | (~F.col("_keep"))
+    ).drop("_keep")
+
+
+class ReplayEngine:
+    def __init__(self, spark: SparkSession, table: LakeTable, plan: RefinePlan):
+        self.spark = spark
+        self.table = table
+        self.plan = plan
+
+    def apply_batch(self, changes: DataFrame, batch_id: str) -> dict:
+        if self.table.is_applied(batch_id):
+            return {"skipped": True, "batch_id": batch_id}
+        delta = prepare_delta(changes, self.plan)
+        return self.table.merge(delta, batch_id)
+
+    def replay(self, changes: DataFrame, batch_col: str = "ingest_file") -> ReplayStats:
+        """Replay every batch in batch-id order (≙ LSN-range order). Batches
+        already recorded in the manifest are skipped — resuming after a
+        crash replays only uncommitted work (exactly-once)."""
+        stats = ReplayStats()
+        t0 = time.time()
+        batch_ids = [r[0] for r in changes.select(batch_col).distinct().collect()]
+        for batch_id in sorted(batch_ids):
+            batch = changes.where(F.col(batch_col) == batch_id)
+            res = self.apply_batch(batch, batch_id)
+            if res.get("skipped"):
+                stats.batches_skipped += 1
+            else:
+                stats.batches += 1
+                stats.lineage.append(res)
+        stats.events = changes.count()
+        stats.seconds = time.time() - t0
+        return stats
+
+    def replay_path(self, path: str, batch_col: str = "ingest_file") -> ReplayStats:
+        """Replay a change log laid out as parquet partitioned by batch —
+        partition pruning makes each per-batch read touch only its own
+        files (the 'tail above the high-watermark' pattern, SURVEY §2.1 S1)."""
+        changes = self.spark.read.parquet(path)
+        return self.replay(changes, batch_col=batch_col)
+
+
+def batch_oracle(changes: DataFrame, plan: RefinePlan) -> DataFrame:
+    """Single-shot recompute: global dedup → global LWW → refine → final
+    live rows. The replay correctness oracle (FIXTURES.md §6): the
+    incremental engine's read() must equal this exactly."""
+    delta = prepare_delta(changes, plan)
+    return delta.where(~F.col("_deleted"))
+
+
+def final_state_matches(engine_df: DataFrame, oracle_df: DataFrame) -> bool:
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the BASELINE.json invariant. Compared as an order-insensitive,
+    null-safe multiset digest (sum of per-row sha2 prefixes + row count):
+    distributed, no driver-side materialization, no sort."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def digest(df: DataFrame):
+        row_str = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+        )
+        h = F.conv(F.substring(F.sha2(row_str, 256), 1, 15), 16, 10).cast("decimal(38,0)")
+        r = df.agg(F.sum(h).alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+        return (r["s"], r["n"])
+
+    return digest(engine_df.select(cols)) == digest(oracle_df.select(cols))

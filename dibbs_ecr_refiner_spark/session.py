@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions ~ cores, AQE on (runtime coalesce + skew-join splitting), Arrow
+enabled for the pandas-UDF paths, UTC session timezone so results compare
+bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cores() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "dibbs-ecr-refiner-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` controls ``local[N]``; the same code runs unchanged under
+    ``spark-submit --py-files`` on a real cluster (the master/conf are the
+    only things that change — all parallelism decisions below are expressed
+    through partitioning, not through local-mode assumptions).
+    """
+    n = cores or default_cores()
+    shuf = shuffle_partitions or max(n, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuf))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

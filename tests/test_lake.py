@@ -1,0 +1,146 @@
+"""LakeTable (Iceberg-shaped format) tests: commit atomicity, idempotent
+re-apply, bucket pruning, schema evolution, tombstone semantics."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dibbs_ecr_refiner_spark.lake.table import (
+    IncompatibleSchemaChange,
+    LakeTable,
+    _merge_schemas,
+)
+
+TS = dt.datetime(2026, 1, 1)
+SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, change_lsn long, "
+    "role string, text string, tool string, _deleted boolean"
+)
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, t or TS, lsn, "user", x, None, d) for (c, i, x, lsn, d, t) in rows], SCHEMA
+    )
+
+
+def mk(spark, tmp_path, rows, batch="b0", buckets=4):
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=buckets)
+    table.merge(_delta(spark, rows), batch)
+    return table
+
+
+def test_merge_and_read(spark, tmp_path):
+    table = mk(spark, tmp_path, [("c1", 0, "hello", 1, False, None), ("c1", 1, "bye", 2, False, None)])
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert got == {("c1", 0): "hello", ("c1", 1): "bye"}
+
+
+def test_lww_upsert_and_tombstone(spark, tmp_path):
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    table.merge(_delta(spark, [("c1", 0, "v2", 5, False, None), ("c1", 1, "x", 6, True, None)]), "b1")
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert rows == {("c1", 0): "v2"}
+    # tombstone row persisted (visible with include_tombstones)
+    all_rows = table.read(include_tombstones=True).count()
+    assert all_rows == 2
+
+
+def test_late_event_loses_to_tombstone(spark, tmp_path):
+    """An old (lower ts,lsn) redelivery after a delete must NOT resurrect
+    the row — the tombstone retains (ts, change_lsn) and wins LWW."""
+    table = mk(spark, tmp_path, [("c1", 0, None, 9, True, dt.datetime(2026, 1, 2))])
+    table.merge(_delta(spark, [("c1", 0, "stale", 3, False, dt.datetime(2026, 1, 1))]), "b1")
+    assert table.read().count() == 0
+
+
+def test_idempotent_reapply(spark, tmp_path):
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    res = table.merge(_delta(spark, [("c1", 0, "OTHER", 99, False, None)]), "b0")
+    assert res["skipped"] is True
+    assert [r["text"] for r in table.read().collect()] == ["v1"]
+
+
+def test_bucket_pruning_rewrites_only_touched_buckets(spark, tmp_path):
+    # many conversations spread over buckets; second merge touches one conv
+    rows = [(f"c{i}", 0, f"t{i}", i, False, None) for i in range(40)]
+    table = mk(spark, tmp_path, rows, buckets=8)
+    files_v1 = {f["path"]: f for f in table.current_snapshot()["files"]}
+    table.merge(_delta(spark, [("c7", 0, "updated", 100, False, None)]), "b1")
+    snap2 = table.current_snapshot()
+    files_v2 = {f["path"]: f for f in snap2["files"]}
+    carried = set(files_v1) & set(files_v2)
+    # every untouched bucket's file is carried over byte-identical
+    assert len(carried) == len(files_v1) - 1
+    assert snap2["applied_batches"]["b1"]["buckets_touched"] == 1
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert got["c7"] == "updated" and got["c3"] == "t3"
+
+
+def test_read_prunes_by_bucket(spark, tmp_path):
+    rows = [(f"c{i}", 0, f"t{i}", i, False, None) for i in range(40)]
+    table = mk(spark, tmp_path, rows, buckets=8)
+    from dibbs_ecr_refiner_spark.lake.table import bucket_expr
+
+    b = spark.createDataFrame([("c7",)], "conv_id string").select(bucket_expr(8)).collect()[0][0]
+    pruned = table.read(buckets=[b])
+    assert pruned.where(F.col("conv_id") == "c7").count() == 1
+    assert pruned.count() < 40
+
+
+def test_schema_evolution_adds_column(spark, tmp_path):
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    evolved = _delta(spark, [("c2", 0, "v2", 2, False, None)]).withColumn(
+        "metadata", F.lit("m-1")
+    )
+    table.merge(evolved, "b1")
+    out = {r["conv_id"]: r["metadata"] for r in table.read().collect()}
+    # old rows read through the evolved schema as NULL
+    assert out == {"c1": None, "c2": "m-1"}
+    snap = table.current_snapshot()
+    assert snap["schema_version"] == 2
+
+
+def test_incompatible_type_change_fails(spark):
+    import pyspark.sql.types as T
+
+    old = T.StructType([T.StructField("a", T.StringType())])
+    new = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(IncompatibleSchemaChange):
+        _merge_schemas(old, new)
+
+
+def test_crash_before_commit_is_invisible_then_rerun_heals(spark, tmp_path):
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    v1 = table.current_snapshot()["snapshot_id"]
+
+    # Simulate a crash after data files land but before the snapshot commit.
+    orig = table._commit
+    table._commit = lambda m: (_ for _ in ()).throw(OSError("crash"))
+    with pytest.raises(OSError):
+        table.merge(_delta(spark, [("c1", 0, "v2", 5, False, None)]), "b1")
+    table._commit = orig
+
+    # Reader still sees v1 — uncommitted files are unreferenced.
+    assert table.current_snapshot()["snapshot_id"] == v1
+    assert [r["text"] for r in table.read().collect()] == ["v1"]
+
+    # Rerun of the same batch commits cleanly and converges.
+    res = table.merge(_delta(spark, [("c1", 0, "v2", 5, False, None)]), "b1")
+    assert res["skipped"] is False
+    assert [r["text"] for r in table.read().collect()] == ["v2"]
+
+
+def test_manifest_is_valid_json_chain(spark, tmp_path):
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    table.merge(_delta(spark, [("c1", 1, "v2", 2, False, None)]), "b1")
+    snap = table.current_snapshot()
+    assert snap["parent_id"] == 1 and snap["snapshot_id"] == 2
+    with open(os.path.join(table._manifest_dir, "v00000001.json")) as f:
+        parent = json.load(f)
+    assert parent["snapshot_id"] == 1
+    lin = table.lineage().collect()
+    assert [r["batch_id"] for r in lin] == ["b0", "b1"]

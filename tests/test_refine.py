@@ -1,0 +1,154 @@
+"""Refinement-pass unit tests — transcript analogs of the reference's
+entry-matching/policy suites (refiner/tests/unit/test_service_section_
+entry_matching.py, test_service_policy.py): minimal inline rows, literal
+keep-sets, assert surviving turns + outcomes."""
+
+import datetime as dt
+
+import pytest
+
+from dibbs_ecr_refiner_spark.operators.refine import compile_refinement
+from dibbs_ecr_refiner_spark.plans.config import (
+    IncompatibleConfigSchema,
+    KeepCode,
+    MatchRule,
+    RoleInstruction,
+    build_plan,
+    normalize_policy,
+)
+
+TS = dt.datetime(2026, 1, 1)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, x, t, TS, 1) for (c, i, r, x, t) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, change_lsn long",
+    )
+
+
+def _plan(**kw):
+    defaults = dict(
+        instructions=[
+            RoleInstruction("system", include=False),
+            RoleInstruction("user", action="retain", narrative="retain"),
+            RoleInstruction("assistant", action="refine", narrative="remove"),
+            RoleInstruction("tool", action="refine", narrative="remove"),
+        ],
+        keep_codes=[
+            KeepCode("token", "fever", "Fever"),
+            KeepCode("tool", "t1", "Tool One"),
+        ],
+        rules=[
+            MatchRule("assistant", 0, target="text", system="token", tier=1),
+            MatchRule("tool", 0, target="tool", system="tool", fallback_target="text", tier=1),
+        ],
+    )
+    defaults.update(kw)
+    return build_plan(**defaults)
+
+
+def _run(spark, plan, rows):
+    out = compile_refinement(plan)(_turns(spark, rows))
+    return {(r["conv_id"], r["turn_idx"]): r.asDict() for r in out.collect()}
+
+
+def test_four_way_branch(spark):
+    res = _run(
+        spark,
+        _plan(),
+        [
+            ("c", 0, "system", "internal prompt", None),   # include=False
+            ("c", 1, "user", "hello there", None),          # retain
+            ("c", 2, "assistant", "patient has fever", None),  # refine, match
+            ("c", 3, "assistant", "nothing relevant", None),   # refine, no match
+        ],
+    )
+    assert res[("c", 0)]["_outcome"] == "removed_wholesale" and not res[("c", 0)]["_keep"]
+    assert res[("c", 1)]["_outcome"] == "retained" and res[("c", 1)]["_keep"]
+    assert res[("c", 2)]["_outcome"] == "refined_kept" and res[("c", 2)]["_matched_code"] == "fever"
+    assert res[("c", 2)]["_matched_display"] == "Fever"
+    assert res[("c", 3)]["_outcome"] == "removed_no_match" and not res[("c", 3)]["_keep"]
+
+
+def test_unknown_role_passes_through(spark):
+    res = _run(spark, _plan(), [("c", 0, "critic", "anything", None)])
+    assert res[("c", 0)]["_outcome"] == "no_config" and res[("c", 0)]["_keep"]
+
+
+def test_rule_precedence_first_match_claims(spark):
+    # Two rules for assistant: rule0 matches 'alert' tokens, rule1 matches any
+    # tool in keep set. A row satisfying both must be claimed by rule0 (tier 1)
+    # — ≙ entry_matching.py:381-382 break-on-first-candidate.
+    plan = _plan(
+        keep_codes=[KeepCode("token", "alert", None), KeepCode("tool", "t1", None)],
+        rules=[
+            MatchRule("assistant", 0, target="text", system="token", tier=1),
+            MatchRule("assistant", 1, target="tool", system="tool", tier=2),
+        ],
+    )
+    res = _run(spark, plan, [("c", 0, "assistant", "red alert", "t1")])
+    assert res[("c", 0)]["_matched_code"] == "alert" and res[("c", 0)]["_tier"] == 1
+    res = _run(spark, plan, [("c", 1, "assistant", "nothing", "t1")])
+    assert res[("c", 1)]["_matched_code"] == "t1" and res[("c", 1)]["_tier"] == 2
+
+
+def test_fallback_target_only_when_primary_empty(spark):
+    # tool rule: primary target=tool, fallback=text (≙ translation fallback,
+    # entry_matching.py:346-379).
+    plan = _plan(keep_codes=[KeepCode("tool", "t1", None), KeepCode("tool", "fever", None)])
+    # primary hits
+    res = _run(spark, plan, [("c", 0, "tool", "fever mentioned", "t1")])
+    assert res[("c", 0)]["_matched_code"] == "t1"
+    # primary misses (t9 not in keep set) → fallback scans text tokens
+    res = _run(spark, plan, [("c", 1, "tool", "fever mentioned", "t9")])
+    assert res[("c", 1)]["_matched_code"] == "fever"
+    # both miss → removed
+    res = _run(spark, plan, [("c", 2, "tool", "nothing", "t9")])
+    assert not res[("c", 2)]["_keep"]
+
+
+def test_narrative_reconstruct_rewrites_text(spark):
+    plan = _plan(
+        instructions=[RoleInstruction("assistant", action="refine", narrative="reconstruct")],
+    )
+    res = _run(spark, plan, [("c", 0, "assistant", "nothing pertinent here", None)])
+    row = res[("c", 0)]
+    assert row["_keep"] and row["_outcome"] == "reconstructed"
+    assert row["text"].startswith("[reconstructed cfg-v1] role=assistant tokens=3")
+
+
+def test_narrative_retain_keeps_unmatched(spark):
+    plan = _plan(
+        instructions=[RoleInstruction("assistant", action="refine", narrative="retain")],
+    )
+    res = _run(spark, plan, [("c", 0, "assistant", "nothing", None)])
+    assert res[("c", 0)]["_keep"] and res[("c", 0)]["_outcome"] == "retained_no_match"
+
+
+def test_token_match_is_word_boundary(spark):
+    # 'feverish' must NOT match keep token 'fever' (tokenized, not substring).
+    res = _run(spark, _plan(), [("c", 0, "assistant", "patient feverish", None)])
+    assert res[("c", 0)]["_matched_code"] is None
+
+
+def test_policy_normalizer():
+    # include=False canonicalizes (≙ ecr/policy.py:151-226)
+    n = normalize_policy(RoleInstruction("x", include=False, action="refine", narrative="reconstruct"))
+    assert (n.action, n.narrative) == ("retain", "remove")
+    # retain + keep_on_match is incoherent → retain
+    n = normalize_policy(RoleInstruction("x", action="retain", narrative="keep_on_match"))
+    assert n.narrative == "retain"
+    with pytest.raises(ValueError):
+        normalize_policy(RoleInstruction("x", action="explode"))
+
+
+def test_config_schema_gate():
+    with pytest.raises(IncompatibleConfigSchema):
+        _plan(schema_version=99)
+
+
+def test_plan_rejects_bad_rule_target():
+    with pytest.raises(ValueError):
+        _plan(rules=[MatchRule("assistant", 0, target="xpath")])

@@ -1,0 +1,123 @@
+"""Replay correctness gate (FIXTURES.md §6 / BASELINE.json north_star):
+incremental MERGE replay vs single-shot batch-recompute oracle — per-turn
+text equality under stable (conv_id, turn_idx) ordering, including
+out-of-order + duplicate deliveries, resume-from-checkpoint, and
+mid-stream schema evolution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dibbs_ecr_refiner_spark.engine import (
+    ReplayEngine,
+    batch_oracle,
+    final_state_matches,
+    prepare_delta,
+)
+from dibbs_ecr_refiner_spark.fixtures.changelog import ChangeLogParams, generate_changes
+from dibbs_ecr_refiner_spark.lake.table import LakeTable
+from dibbs_ecr_refiner_spark.plans.config import default_plan
+
+PARAMS = ChangeLogParams(
+    n_conversations=40,
+    turns_per_conv=8,
+    n_events=2500,
+    pct_out_of_order=0.15,
+    pct_duplicates=0.08,
+    pct_deletes=0.05,
+    n_batches=5,
+)
+
+
+@pytest.fixture(scope="module")
+def changes(spark):
+    df = generate_changes(spark, PARAMS).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _fresh(spark, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
+    return table, ReplayEngine(spark, table, default_plan())
+
+
+def test_generator_has_required_hazards(changes):
+    total = changes.count()
+    distinct = changes.dropDuplicates(["conv_id", "turn_idx", "change_lsn"]).count()
+    assert total > distinct, "duplicate deliveries present"
+    ops = {r["op"] for r in changes.select("op").distinct().collect()}
+    assert {"insert", "update", "delete", "refine"} <= ops
+    # schema evolution: extra['metadata'] appears only past the evolution LSN
+    evo = changes.where(F.col("extra").getItem("metadata").isNotNull())
+    assert evo.count() > 0
+    assert evo.agg(F.min("change_lsn")).collect()[0][0] >= PARAMS.n_events * 0.7 - 1
+
+
+def test_incremental_replay_matches_oracle(spark, tmp_path, changes):
+    table, eng = _fresh(spark, tmp_path)
+    stats = eng.replay(changes)
+    assert stats.batches == PARAMS.n_batches
+    assert final_state_matches(table.read(), batch_oracle(changes, eng.plan))
+
+
+def test_replay_is_idempotent(spark, tmp_path, changes):
+    table, eng = _fresh(spark, tmp_path)
+    eng.replay(changes)
+    snap1 = table.current_snapshot()["snapshot_id"]
+    stats2 = eng.replay(changes)  # full redelivery of every batch
+    assert stats2.batches == 0 and stats2.batches_skipped == PARAMS.n_batches
+    assert table.current_snapshot()["snapshot_id"] == snap1
+
+
+def test_resume_after_crash_midway(spark, tmp_path, changes):
+    """Kill replay mid-stream (crash during batch 3's commit), rerun from
+    checkpoint, assert identical final state (SURVEY §5 resumability)."""
+    table, eng = _fresh(spark, tmp_path)
+
+    batch_ids = sorted(r[0] for r in changes.select("ingest_file").distinct().collect())
+    for b in batch_ids[:2]:
+        eng.apply_batch(changes.where(F.col("ingest_file") == b), b)
+
+    crash_commit = table._commit
+    table._commit = lambda m: (_ for _ in ()).throw(OSError("simulated crash"))
+    with pytest.raises(OSError):
+        eng.apply_batch(changes.where(F.col("ingest_file") == batch_ids[2]), batch_ids[2])
+    table._commit = crash_commit
+
+    stats = eng.replay(changes)  # resume: skips 2 committed, applies the rest
+    assert stats.batches_skipped == 2 and stats.batches == PARAMS.n_batches - 2
+    assert final_state_matches(table.read(), batch_oracle(changes, eng.plan))
+
+
+def test_schema_evolution_mid_replay(spark, tmp_path, changes):
+    """Promote extra['metadata'] to a real column mid-stream: early batches
+    lack it, late batches carry it — commit-time schema merge must hold."""
+    evolved = changes.withColumn("metadata", F.col("extra").getItem("metadata"))
+    table, eng = _fresh(spark, tmp_path)
+    eng.replay(evolved)
+    schema_names = [f.name for f in table.read().schema.fields]
+    assert "metadata" in schema_names
+    assert final_state_matches(table.read(), batch_oracle(evolved, eng.plan))
+    # and the evolved column's values survived the merge
+    got = table.read().where(F.col("metadata").isNotNull()).count()
+    assert got > 0
+
+
+def test_replay_from_partitioned_path(spark, tmp_path, changes):
+    """Change log laid out as parquet partitioned by batch — per-batch reads
+    are partition-pruned."""
+    log_path = str(tmp_path / "changelog")
+    changes.write.mode("overwrite").partitionBy("ingest_file").parquet(log_path)
+    table, eng = _fresh(spark, tmp_path)
+    stats = eng.replay_path(log_path)
+    assert stats.batches == PARAMS.n_batches
+    assert final_state_matches(table.read(), batch_oracle(changes, eng.plan))
+
+
+def test_prepare_delta_refines(spark, changes):
+    delta = prepare_delta(changes, default_plan())
+    outcomes = {r["_outcome"] for r in delta.select("_outcome").distinct().collect()}
+    assert "removed_wholesale" in outcomes  # system turns dropped
+    assert "refined_kept" in outcomes
+    # every (conv_id, turn_idx) appears exactly once post-LWW
+    assert delta.groupBy("conv_id", "turn_idx").count().where("count > 1").isEmpty()
