@@ -1,0 +1,167 @@
+"""CDC operator inventory (SURVEY.md §2.5/§2.9) exercised on the driver's
+``events`` stream table (the stand-in change stream per FIXTURES.md §7).
+
+(user_id, event_type) plays (conv_id, turn_idx); (ts, event_id) plays
+(ts, change_lsn)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import cdc
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+_LWW_SQL = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+@q("lww_rank", _LWW_SQL)
+def lww_rank(spark, sf):
+    """W1 last-writer-wins via row_number over desc (ts, lsn)."""
+    out = cdc.lww_resolve_window(
+        _events(spark, sf), key=("user_id", "event_type"), order=("ts", "event_id")
+    )
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+@q("lww_agg", _LWW_SQL)
+def lww_agg(spark, sf):
+    """W1 again as the scale-path hash aggregation (max_by with map-side
+    partial combine — same result, no sort shuffle, skew-immune). The
+    oracle is intentionally the window SQL: both spellings must agree."""
+    out = cdc.lww_resolve(
+        _events(spark, sf), key=("user_id", "event_type"), order=("ts", "event_id")
+    )
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+@q(
+    "dedup_deliveries",
+    """
+    SELECT event_type, COUNT(*) AS n FROM (
+      SELECT DISTINCT event_id, event_type FROM (
+        SELECT event_id, event_type FROM events
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_id % 10 = 0))
+    GROUP BY event_type
+    """,
+)
+def dedup_deliveries(spark, sf):
+    """W2 duplicate-delivery drop: re-deliver 10% of the stream, dedup by
+    the delivery key, count per type (counts must equal the clean stream)."""
+    e = _events(spark, sf).select("event_id", "event_type")
+    redelivered = e.unionByName(e.where(F.col("event_id") % 10 == 0))
+    return (
+        cdc.dedup_deliveries(redelivered, key=("event_type",), lsn="event_id")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "high_watermark",
+    "SELECT event_type, MAX(event_id) AS high_watermark FROM events GROUP BY event_type",
+)
+def high_watermark(spark, sf):
+    """W4 per-partition high-watermark (checkpoint manifest content)."""
+    return cdc.high_watermarks(_events(spark, sf), "event_type", lsn="event_id")
+
+
+@q(
+    "ordered_turns",
+    """
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+    """,
+)
+def ordered_turns(spark, sf):
+    """W3 stable per-conversation ordering + lag for invariant checks."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _events(spark, sf).select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@q(
+    "frame_context",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ctx_sum
+    FROM events
+    """,
+)
+def frame_context(spark, sf):
+    """W5 frame-spec analytic: rolling context window (≙ keeping organizer-
+    scoped context around matches, entry_matching.py:529-541)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return _events(spark, sf).select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("ctx_sum"),
+    )
+
+
+@q(
+    "rule_precedence",
+    """
+    WITH rules(event_type, rule_idx, tier) AS (
+      VALUES ('purchase', 0, 1), ('error', 1, 1), ('signup', 2, 2))
+    SELECT user_id, event_type, tier FROM (
+      SELECT e.user_id, e.event_type, r.tier,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY r.rule_idx, e.ts, e.event_id) AS rn
+      FROM events e JOIN rules r ON e.event_type = r.event_type)
+    WHERE rn = 1
+    """,
+)
+def rule_precedence(spark, sf):
+    """§2.5 structural precedence: ordered rules, first candidate-bearing
+    rule claims the group (≙ entry_matching.py:289-384 break at :381-382)
+    = row_number over (rule_idx, arrival order) == 1."""
+    rules = spark.createDataFrame(
+        [("purchase", 0, 1), ("error", 1, 1), ("signup", 2, 2)],
+        "event_type string, rule_idx int, tier int",
+    )
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("rule_idx", "ts", "event_id")
+    return (
+        e.join(F.broadcast(rules), "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "tier")
+    )

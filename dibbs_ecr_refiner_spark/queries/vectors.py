@@ -1,0 +1,168 @@
+"""Embedding similarity / ANN operators on the ``embeddings`` table
+(vec_id bigint, embedding array<float>, label int).
+
+Numeric discipline: dot products are computed as explicit left-to-right
+double folds (F.aggregate over zip_with; list_reduce in DuckDB) so both
+engines accumulate in the same order and precision → bit-exact similarity
+values, no reliance on engine-internal list_cosine implementations.
+
+Scale notes: brute-force top-k is the correctness baseline (O(n·q) with a
+broadcast query set); the LSH-bucketed variant is the 100 TB path — random
+hyperplane signatures computed from md5-derived ±1 planes (constant-folded
+into the plan), candidates equi-joined on bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# left-to-right double fold of the elementwise product (deterministic)
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"
+)
+
+
+def _dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    sq = F.transform(a, lambda v: v.cast("double") * v.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+_COS_SQL = (
+    _DOT_SQL.format(a="q.embedding", b="c.embedding")
+    + " / (" + _NORM_SQL.format(a="q.embedding") + " * " + _NORM_SQL.format(a="c.embedding") + ")"
+)
+
+
+@q(
+    "embed_cosine_topk",
+    f"""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rank <= 3
+    """,
+)
+def embed_cosine_topk(spark, sf):
+    """Brute-force cosine top-3 for 10 query vectors: broadcast the query
+    set, fold dot/norms JVM-side, window for top-k. The baseline every ANN
+    variant is measured against."""
+    e = _emb(spark, sf)
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = e.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+    sim = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+@q(
+    "embed_near_dup",
+    f"""
+    SELECT label, a, b FROM (
+      SELECT q.label, q.vec_id AS a, c.vec_id AS b,
+             ROW_NUMBER() OVER (PARTITION BY q.label
+                                ORDER BY {_COS_SQL} DESC, q.vec_id, c.vec_id) AS rn
+      FROM embeddings q JOIN embeddings c
+        ON q.label = c.label AND q.vec_id < c.vec_id)
+    WHERE rn = 1
+    """,
+)
+def embed_near_dup(spark, sf):
+    """Embedding-cosine near-dup with label blocking: most-similar pair per
+    label (candidate pairs only within a block — the anti-cross-join
+    discipline that survives 100×)."""
+    e = _emb(spark, sf)
+    a = e.select(F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("label").alias("lb"), F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("a") < F.col("b")))
+    sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    w = Window.partitionBy("label").orderBy(F.col("sim").desc(), "a", "b")
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("label", "a", "b")
+    )
+
+
+_N_PLANES = 8
+_DIMS = 64
+
+
+def _plane_sign(p: int, d: int) -> int:
+    """Deterministic ±1 from md5 — same derivation inlined into the SQL
+    oracle, so both engines use identical hyperplanes."""
+    h = hashlib.md5(f"{p}-{d}".encode()).hexdigest()
+    return 1 if int(h[:4], 16) % 2 == 0 else -1
+
+
+def _planes() -> list[list[int]]:
+    return [[_plane_sign(p, d) for d in range(_DIMS)] for p in range(_N_PLANES)]
+
+
+def _ann_sql() -> str:
+    projs = []
+    for p, signs in enumerate(_planes()):
+        arr = "[" + ", ".join(str(s) for s in signs) + "]"
+        proj = _DOT_SQL.format(a="embedding", b=arr)
+        projs.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+    bucket = " || ".join(projs)
+    return f"SELECT vec_id, {bucket} AS bucket FROM embeddings"
+
+
+@q("ann_lsh_bucket", _ann_sql())
+def ann_lsh_bucket(spark, sf):
+    """Random-hyperplane LSH bucketing: 8 md5-derived ±1 planes constant-
+    folded into the plan; bucket = sign-bit string. ANN search then
+    equi-joins queries to candidates on bucket and reranks exactly —
+    shuffle on bucket, never n²."""
+    e = _emb(spark, sf)
+    bits = []
+    for signs in _planes():
+        plane = F.array(*[F.lit(float(s)) for s in signs])
+        proj = _dot(F.col("embedding"), plane)
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    return e.select("vec_id", F.concat(*bits).alias("bucket"))
