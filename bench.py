@@ -1,0 +1,208 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus one end-to-end CDC
+replay (generate change log → dedup → LWW → refine → MERGE), and print ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "cdc": {...}}
+
+Scaling mode (the BASELINE.json north-rule evidence, no real cluster in
+this sandbox): ``python bench.py --scaling`` runs the identical replay job
+at two parallelism levels (local[8] vs local[32]) in fresh JVMs on the same
+input and reports events/sec at both + efficiency = (thr_4N / thr_N) / 4.
+
+Query plans are forced end-to-end with the noop sink (count() would let
+Catalyst skip column evaluation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "lww_agg",
+    "prune_entries",
+    "top1_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+    "token_count",
+    "rollup_lineage",
+]
+
+# CDC replay workload (same generator params in every mode)
+REPLAY_EVENTS = int(os.environ.get("SPARK_GRAFT_REPLAY_EVENTS", "2000000"))
+REPLAY_PARAMS = dict(
+    n_conversations=20_000,
+    turns_per_conv=24,
+    n_events=REPLAY_EVENTS,
+    n_batches=8,
+)
+
+
+def _sf_label(path: str) -> float:
+    try:
+        return float(path.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return -1.0
+
+
+def _run_queries(spark) -> dict[str, float]:
+    from dibbs_ecr_refiner_spark.queries import all_queries
+
+    qs = all_queries()
+    times = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def _make_changelog(spark, path: str) -> int:
+    from dibbs_ecr_refiner_spark.fixtures.changelog import ChangeLogParams, write_changes
+
+    params = ChangeLogParams(**REPLAY_PARAMS)
+    write_changes(spark, path, params)
+    return REPLAY_EVENTS
+
+
+def _replay(spark, log_path: str, table_root: str, buckets: int = 64):
+    from dibbs_ecr_refiner_spark.engine import ReplayEngine
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+    from dibbs_ecr_refiner_spark.plans.config import default_plan
+
+    table = LakeTable(spark, table_root, num_buckets=buckets)
+    eng = ReplayEngine(spark, table, default_plan())
+    return eng.replay_path(log_path)
+
+
+def replay_worker(cores: int, log_path: str, out_path: str) -> None:
+    from dibbs_ecr_refiner_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-replay-{cores}", cores=cores)
+    table_root = tempfile.mkdtemp(prefix=f"bench-lake-{cores}-")
+    try:
+        stats = _replay(spark, log_path, table_root)
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "cores": cores,
+                    "events": stats.events,
+                    "seconds": round(stats.seconds, 3),
+                    "events_per_sec": round(stats.events_per_sec, 1),
+                },
+                f,
+            )
+    finally:
+        shutil.rmtree(table_root, ignore_errors=True)
+
+
+def _spawn_replay(cores: int, log_path: str) -> dict:
+    out = tempfile.mktemp(suffix=".json")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--replay-worker", str(cores), log_path, out],
+        check=True,
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    with open(out) as f:
+        return json.load(f)
+
+
+def main_bench() -> None:
+    from dibbs_ecr_refiner_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS)
+    t_all = time.time()
+    times = _run_queries(spark)
+
+    work = tempfile.mkdtemp(prefix="bench-cdc-")
+    try:
+        log_path = os.path.join(work, "changelog")
+        n_events = _make_changelog(spark, log_path)
+        t0 = time.time()
+        stats = _replay(spark, log_path, os.path.join(work, "lake"))
+        replay_sec = time.time() - t0
+        times["cdc_replay"] = round(replay_sec, 3)
+        cdc = {
+            "events": n_events,
+            "seconds": round(replay_sec, 3),
+            "events_per_sec": round(n_events / replay_sec, 1),
+            "batches": stats.batches,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_cdc_replay_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_label(SF_DIR),
+                "cdc": cdc,
+                "cores": CPUS,
+                "wall_sec": total,
+            }
+        )
+    )
+
+
+def main_scaling() -> None:
+    """North-rule evidence: same job, same input, two parallelism levels."""
+    from dibbs_ecr_refiner_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-gen", cores=CPUS)
+    work = tempfile.mkdtemp(prefix="bench-scaling-")
+    try:
+        log_path = os.path.join(work, "changelog")
+        _make_changelog(spark, log_path)
+        spark.stop()
+
+        lo = _spawn_replay(8, log_path)
+        hi = _spawn_replay(32, log_path)
+        eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32_cores",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "low": lo,
+                    "high": hi,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
+        replay_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    else:
+        main_bench()

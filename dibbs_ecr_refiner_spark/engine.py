@@ -66,16 +66,29 @@ class ReplayEngine:
     def apply_batch(self, changes: DataFrame, batch_id: str) -> dict:
         if self.table.is_applied(batch_id):
             return {"skipped": True, "batch_id": batch_id}
+        # Touched buckets from a conv_id-only column scan of the raw batch
+        # (column pruning keeps this to one parquet column + a partial-agg
+        # distinct); the expensive dedup→LWW→refine plan then runs exactly
+        # once, during the merge write, with stats observed in-flight.
+        from .lake.table import bucket_expr
+
+        touched = [
+            r[0]
+            for r in changes.select(
+                bucket_expr(self.table.num_buckets).alias("b")
+            ).distinct().collect()
+        ]
         delta = prepare_delta(changes, self.plan)
-        return self.table.merge(delta, batch_id)
+        return self.table.merge(delta, batch_id, touched_buckets=touched)
 
     def replay(self, changes: DataFrame, batch_col: str = "ingest_file") -> ReplayStats:
         """Replay every batch in batch-id order (≙ LSN-range order). Batches
         already recorded in the manifest are skipped — resuming after a
         crash replays only uncommitted work (exactly-once)."""
         stats = ReplayStats()
-        t0 = time.time()
+        stats.events = changes.count()
         batch_ids = [r[0] for r in changes.select(batch_col).distinct().collect()]
+        t0 = time.time()
         for batch_id in sorted(batch_ids):
             batch = changes.where(F.col(batch_col) == batch_id)
             res = self.apply_batch(batch, batch_id)
@@ -84,7 +97,6 @@ class ReplayEngine:
             else:
                 stats.batches += 1
                 stats.lineage.append(res)
-        stats.events = changes.count()
         stats.seconds = time.time() - t0
         return stats
 

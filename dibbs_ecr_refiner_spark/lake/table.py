@@ -49,7 +49,7 @@ import time
 import uuid
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -201,7 +201,12 @@ class LakeTable:
         snap = self.current_snapshot()
         return bool(snap and batch_id in snap["applied_batches"])
 
-    def merge(self, delta: DataFrame, batch_id: str) -> dict:
+    def merge(
+        self,
+        delta: DataFrame,
+        batch_id: str,
+        touched_buckets: list[int] | None = None,
+    ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
         ``delta`` must carry KEY + ORDER columns and ``_deleted``; any other
@@ -215,19 +220,32 @@ class LakeTable:
             return {"skipped": True, "batch_id": batch_id}
 
         t0 = time.time()
-        delta = delta.withColumn("_bucket", bucket_expr(self.num_buckets))
 
-        # LSN range + touched buckets in one cheap agg pass.
-        stats = delta.agg(
+        # Touched buckets: either supplied by the caller (computed from a
+        # cheap conv_id-only column scan of the raw batch — see
+        # ReplayEngine.apply_batch), or derived here from the delta.
+        if touched_buckets is None:
+            touched_buckets = [
+                r[0]
+                for r in delta.select(bucket_expr(self.num_buckets).alias("b"))
+                .distinct()
+                .collect()
+            ]
+        touched = sorted(int(b) for b in touched_buckets)
+        if not touched:
+            return {"skipped": True, "batch_id": batch_id, "empty": True}
+
+        # Delta stats are collected DURING the write action via an
+        # Observation (one pass over the expensive dedup→LWW→refine plan —
+        # no second job, no persist).
+        obs = Observation(f"delta-{batch_id}")
+        delta = delta.withColumn("_bucket", bucket_expr(self.num_buckets)).observe(
+            obs,
             F.min("change_lsn").alias("lsn_min"),
             F.max("change_lsn").alias("lsn_max"),
-            F.collect_set("_bucket").alias("buckets"),
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("_deleted").cast("long")).alias("n_del"),
-        ).collect()[0]
-        if stats["n"] == 0:
-            return {"skipped": True, "batch_id": batch_id, "empty": True}
-        touched = sorted(stats["buckets"])
+        )
 
         delta_schema = T.StructType([f for f in delta.schema.fields if f.name != "_bucket"])
         if snap:
@@ -305,16 +323,23 @@ class LakeTable:
                 i += 1
         shutil.rmtree(staging, ignore_errors=True)
 
+        stats = obs.get
+        if stats["n"] == 0:
+            # Nothing in the batch: no data files were produced; still
+            # commit so the batch is recorded as applied (exactly-once).
+            stats = {"lsn_min": -1, "lsn_max": -1, "n": 0, "n_del": 0}
+
         watermarks = dict(snap["watermarks"]) if snap else {}
-        for b in touched:
-            watermarks[str(b)] = max(int(watermarks.get(str(b), -1)), int(stats["lsn_max"]))
+        if stats["n"]:
+            for b in touched:
+                watermarks[str(b)] = max(int(watermarks.get(str(b), -1)), int(stats["lsn_max"]))
 
         applied = dict(snap["applied_batches"]) if snap else {}
         n_del = int(stats["n_del"] or 0)
         applied[batch_id] = {
             "snapshot_id": new_version,
-            "lsn_min": int(stats["lsn_min"]),
-            "lsn_max": int(stats["lsn_max"]),
+            "lsn_min": int(stats["lsn_min"] if stats["lsn_min"] is not None else -1),
+            "lsn_max": int(stats["lsn_max"] if stats["lsn_max"] is not None else -1),
             "rows_upserted": int(stats["n"]) - n_del,
             "rows_deleted": int(n_del),
             "files_written": len(new_files),

@@ -43,9 +43,19 @@ OUTCOMES = (
 )
 
 
+TOKENS_COL = "_toks"
+
+
 def _tokens(col: Column) -> Column:
     toks = F.split(F.lower(F.coalesce(col, F.lit(""))), "[^a-z0-9]+")
     return F.filter(toks, lambda t: t != "")
+
+
+def _toks() -> Column:
+    """The materialized token array (added once by apply(); referencing the
+    column instead of re-deriving it keeps the regex split from being
+    re-evaluated per rule — Catalyst CSE doesn't always catch it)."""
+    return F.col(TOKENS_COL)
 
 
 def _first_match(plan: RefinePlan, target: str, system: str | None) -> Column:
@@ -62,7 +72,7 @@ def _first_match(plan: RefinePlan, target: str, system: str | None) -> Column:
         return F.lit(None).cast("string")
     if target == "tool":
         return F.when(F.col("tool").isin(codes), F.col("tool"))
-    hits = F.filter(_tokens(F.col("text")), lambda t: t.isin(*codes))
+    hits = F.filter(_toks(), lambda t: t.isin(*codes))
     return F.when(F.size(hits) > 0, F.element_at(hits, 1))
 
 
@@ -80,13 +90,13 @@ def _reconstructed_text(plan: RefinePlan) -> Column:
     line derived only from the surviving row (≙ rebuilding section <text>
     from surviving entries, narrative/reconstruction.py:1341-1400; the
     conversation-level grouped rollup lives in operators/reconstruct.py)."""
-    n = F.size(_tokens(F.col("text")))
+    n = F.size(_toks())
     return F.format_string(
         "[reconstructed cfg-v%d] role=%s tokens=%d head=%s",
         F.lit(plan.config_version),
         F.col("role"),
         n,
-        F.coalesce(F.element_at(_tokens(F.col("text")), 1), F.lit("")),
+        F.coalesce(F.element_at(_toks(), 1), F.lit("")),
     )
 
 
@@ -161,13 +171,18 @@ def compile_refinement(plan: RefinePlan):
         return keep, outcome, text
 
     def apply(df: DataFrame) -> DataFrame:
-        out = df.withColumn("_matched_code", matched_code).withColumn("_tier", matched_tier)
+        out = (
+            df.withColumn(TOKENS_COL, _tokens(F.col("text")))
+            .withColumn("_matched_code", matched_code)
+            .withColumn("_tier", matched_tier)
+        )
         keep, outcome, text = _branches()
         return (
             out.withColumn("_keep", keep)
             .withColumn("_outcome", outcome)
             .withColumn("text", text)
             .withColumn("_matched_display", matched_display)
+            .drop(TOKENS_COL)
         )
 
     return apply

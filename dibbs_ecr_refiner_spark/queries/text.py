@@ -35,8 +35,23 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/documents.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """documents fanned out across cores: the table arrives as a single
+    small parquet file (1 scan partition), so CPU-heavy per-row work
+    (hashing, shingling) must be explicitly repartitioned or it runs on
+    one core. At lake scale the scan has many splits and this is a no-op
+    cost-wise."""
+    return _docs(spark, sf).repartition(spark.sparkContext.defaultParallelism)
+
+
 def _tok(col):
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def _with_tok(spark: SparkSession, sf: str) -> DataFrame:
+    """docs + materialized token array (evaluated once, referenced many
+    times — avoids Catalyst re-evaluating the regex split per use)."""
+    return _docs_wide(spark, sf).withColumn("tok", _tok(F.col("text")))
 
 
 # token word-3-grams as strings "a b c"
@@ -50,8 +65,8 @@ _NGRAM_SQL = """
 """
 
 
-def _ngrams(col, n=3):
-    toks = _tok(col)
+def _ngrams(toks, n=3):
+    """Word n-grams from a *materialized* token-array column."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     return F.when(
         F.size(toks) >= n,
@@ -73,7 +88,7 @@ def dedup_exact(spark, sf):
     """Exact dedup: hash-groupBy on content, min id as canonical
     representative. At scale this is one shuffle on the hash."""
     return (
-        _docs(spark, sf)
+        _docs_wide(spark, sf)
         .groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n"))
     )
@@ -104,8 +119,8 @@ def dedup_ngram_jaccard(spark, sf):
     self-join on shared n-grams (blocking), never a cross join; the ratio
     is exact integer arithmetic → bit-stable."""
     grams = (
-        _docs(spark, sf)
-        .select("doc_id", F.explode(_ngrams(F.col("text"))).alias("g"))
+        _with_tok(spark, sf)
+        .select("doc_id", F.explode(_ngrams(F.col("tok"))).alias("g"))
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -135,54 +150,51 @@ _N_HASHES = 12
 _BAND_SIZE = 3
 
 
-@q(
-    "dedup_minhash_lsh",
-    f"""
-    WITH grams AS (SELECT DISTINCT doc_id, g FROM ({_NGRAM_SQL})),
-    sigs AS (
-      SELECT doc_id, s.seed,
-             MIN(md5(CAST(s.seed AS VARCHAR) || '#' || g)) AS sig
-      FROM grams, (SELECT unnest(range({_N_HASHES})) AS seed) s
-      GROUP BY doc_id, s.seed),
+def _minhash_band_sql() -> str:
+    sigs = ", ".join(
+        f"MIN(md5('{s}#' || g)) AS sig{s}" for s in range(_N_HASHES)
+    )
+    bands = []
+    for band in range(_N_HASHES // _BAND_SIZE):
+        parts = " || ".join(f"sig{band * _BAND_SIZE + k}" for k in range(_BAND_SIZE))
+        bands.append(f"({band}, md5({parts}))")
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {sigs} FROM ({_NGRAM_SQL}) GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, seed // {_BAND_SIZE} AS band,
-             md5(string_agg(sig, '' ORDER BY seed)) AS bucket
-      FROM sigs GROUP BY doc_id, seed // {_BAND_SIZE})
+      SELECT doc_id, b.band, b.bucket
+      FROM sigs, LATERAL (SELECT * FROM (VALUES {', '.join(bands)}) v(band, bucket)) b)
     SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@q("dedup_minhash_lsh", _minhash_band_sql())
 def dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup candidates: shingle → {_N_HASHES} md5-seeded
-    minhash signature → bands of {_BAND_SIZE} → bucket join. The band-bucket
-    equi-join is the scale path: candidates shuffle on (band, bucket), cost
-    proportional to collisions, not to n²."""
-    grams = (
-        _docs(spark, sf)
-        .select("doc_id", F.explode(_ngrams(F.col("text"))).alias("g"))
-        .distinct()
-    )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed")
-    sigs = (
-        grams.select("doc_id", "g", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("g")))).alias("sig"))
-    )
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / _BAND_SIZE).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
+    """MinHash+LSH near-dup candidates: shingle → 12 md5-seeded minhash
+    mins computed in ONE aggregation pass (12 min() exprs, map-side partial
+    combine — no seed explosion, no second shuffle) → bands of 3 → band-
+    bucket equi-join. Candidates shuffle on (band, bucket): cost is
+    proportional to collisions, not n²."""
+    grams = _with_tok(spark, sf).select("doc_id", F.explode(_ngrams(F.col("tok"))).alias("g"))
+    sig_exprs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("g")))).alias(f"sig{s}")
+        for s in range(_N_HASHES)
+    ]
+    sigs = grams.groupBy("doc_id").agg(*sig_exprs)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "sig"))), lambda x: x.sig
-                    ),
-                    "",
-                )
-            ).alias("bucket")
+                F.concat(*[F.col(f"sig{band * _BAND_SIZE + k}") for k in range(_BAND_SIZE)])
+            ).alias("bucket"),
         )
-    )
+        for band in range(_N_HASHES // _BAND_SIZE)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -224,7 +236,7 @@ def dedup_simhash(spark, sf):
     token occurrences). Near-dup at scale = group by simhash prefix bands
     and compare hamming distance within buckets; the fingerprint itself is
     the oracle-checked core."""
-    toks = _docs(spark, sf).select("doc_id", F.explode(_tok(F.col("text"))).alias("t"))
+    toks = _with_tok(spark, sf).select("doc_id", F.explode("tok").alias("t"))
     hashed = toks.select(
         "doc_id", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h")
     )
@@ -283,7 +295,7 @@ def _lang_sql() -> str:
 def lang_id(spark, sf):
     """Language ID by stopword-marker voting (n-gram heuristic family);
     deterministic priority order en > es > fr > de on ties."""
-    d = _docs(spark, sf).withColumn("tok", _tok(F.col("text")))
+    d = _with_tok(spark, sf)
     for lang, words in _LANG_MARKERS.items():
         d = d.withColumn(
             f"hits_{lang}", F.size(F.filter(F.col("tok"), lambda t: t.isin(*words)))
@@ -317,8 +329,8 @@ def lang_id(spark, sf):
 def quality_score(spark, sf):
     """Quality signals: alpha ratio, punctuation ratio, stopword ratio —
     exact integer-count divisions, bit-stable."""
-    d = _docs(spark, sf).where(F.length("text") > 0)
-    toks = _tok(F.col("text"))
+    d = _with_tok(spark, sf).where(F.length("text") > 0)
+    toks = F.col("tok")
     stop = F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "a", "to")))
     return d.select(
         "doc_id",
@@ -343,7 +355,7 @@ def quality_score(spark, sf):
 )
 def token_count(spark, sf):
     """Token counting: whitespace tokens + a BPE-ish regex segmentation."""
-    d = _docs(spark, sf)
+    d = _docs_wide(spark, sf)
     ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
     bpe = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
@@ -367,9 +379,8 @@ def token_count(spark, sf):
 def doc_fingerprint(spark, sf):
     """Rolling polynomial fingerprint (Horner fold over md5-hashed tokens,
     mod 1e9+7) — order-sensitive content identity for shingled chunks."""
-    toks = _tok(F.lower(F.col("text")))
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    hashes = F.transform(F.col("tok"), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
     fp = F.aggregate(
         hashes, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % 1000000007
     )
-    return _docs(spark, sf).select("doc_id", fp.alias("fingerprint"))
+    return _with_tok(spark, sf).select("doc_id", fp.alias("fingerprint"))
