@@ -47,6 +47,7 @@ class ChangeLogParams:
     zipf_boost: float = 3.0         # >1 skews events toward low conv ids
     schema_evolution_frac: float = 0.7  # extra['metadata'] appears past this
     n_batches: int = 8
+    files_per_batch: int = 16       # a real WAL tail delivers many files
     seed: int = 42
 
 
@@ -150,7 +151,12 @@ def generate_changes(spark: SparkSession, params: ChangeLogParams | None = None)
 def write_changes(spark: SparkSession, path: str, params: ChangeLogParams | None = None) -> None:
     """Materialize the change log partitioned by ingest_file (one dir per
     batch ≙ one S3 'persistence_id' prefix per Lambda invocation,
-    reference lambda_function.py:413-433)."""
-    generate_changes(spark, params).repartition("ingest_file").write.mode(
-        "overwrite"
-    ).partitionBy("ingest_file").parquet(path)
+    reference lambda_function.py:413-433), with ``files_per_batch`` parquet
+    files per batch — a single giant file per batch would cap the scan
+    parallelism of every downstream consumer at ~file_size/maxPartitionBytes
+    tasks, which is not how a WAL tail arrives."""
+    p = params or ChangeLogParams()
+    subfile = F.pmod(F.xxhash64(F.col("change_lsn"), F.lit(p.seed + 99)), F.lit(p.files_per_batch))
+    generate_changes(spark, p).repartition(
+        F.col("ingest_file"), subfile
+    ).write.mode("overwrite").partitionBy("ingest_file").parquet(path)

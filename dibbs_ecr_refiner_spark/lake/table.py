@@ -206,6 +206,7 @@ class LakeTable:
         delta: DataFrame,
         batch_id: str,
         touched_buckets: list[int] | None = None,
+        replace_buckets: bool = False,
     ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
@@ -251,7 +252,13 @@ class LakeTable:
         if snap:
             old_schema = T.StructType.fromJson(snap["schema"])
             new_schema = _merge_schemas(old_schema, delta_schema)
-            old_files = [f for f in snap["files"] if f["bucket"] in set(touched)]
+            # replace_buckets: the delta IS the new content of the touched
+            # buckets (compaction/GC path) — don't union the old files.
+            old_files = (
+                []
+                if replace_buckets
+                else [f for f in snap["files"] if f["bucket"] in set(touched)]
+            )
             carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
         else:
             new_schema, old_files, carried = delta_schema, [], []
@@ -291,6 +298,7 @@ class LakeTable:
 
         # Write staged data files, one file per touched bucket (hot buckets
         # split by maxRecordsPerFile).
+        t_write = time.time()
         token = uuid.uuid4().hex
         staging = os.path.join(self._staging_dir, token)
         (
@@ -299,7 +307,9 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(staging)
         )
+        t_write = time.time() - t_write
 
+        t_files = time.time()
         new_version = (snap["snapshot_id"] + 1) if snap else 1
         new_files = []
         for bdir in sorted(os.listdir(staging)):
@@ -322,6 +332,7 @@ class LakeTable:
                 )
                 i += 1
         shutil.rmtree(staging, ignore_errors=True)
+        t_files = time.time() - t_files
 
         stats = obs.get
         if stats["n"] == 0:
@@ -364,5 +375,7 @@ class LakeTable:
             "batch_id": batch_id,
             "snapshot_id": new_version,
             "seconds": time.time() - t0,
+            "write_sec": round(t_write, 3),
+            "finalize_sec": round(t_files, 3),
             **applied[batch_id],
         }

@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC -XX:MaxGCPauseMillis=300")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # v2 commit: tasks move their own files (no serial driver-side
+        # rename of every dynamic partition at job commit)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
+        # bench-scale inputs are small; 32m keeps scan parallelism ≈ cores
+        # (at lake scale with many files the default 128m is fine — this is
+        # a knob, not a design assumption)
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "33554432"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

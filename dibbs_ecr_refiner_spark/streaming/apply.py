@@ -1,0 +1,101 @@
+"""Structured Streaming front-end for the CDC apply.
+
+The reference is micro-batch event-driven (SQS → Lambda,
+refiner/app/lambda/lambda_function.py:150-345); batch-incremental replay is
+therefore the engine's primary mode (engine.ReplayEngine). This module is
+the same apply expressed as a *stream*: ``readStream`` tails the change-log
+directory, and ``foreachBatch`` routes every micro-batch through the exact
+same prepare_delta → LakeTable.merge pipeline.
+
+Exactly-once story (≙ SURVEY §2.9 row 1):
+- the file source is replayable and checkpointed (offsets = seen files);
+- micro-batch epoch ids are stable across restarts for unprocessed data;
+- ``merge`` is idempotent per batch id, so a crash between "epoch processed"
+  and "checkpoint advanced" makes the re-run a no-op — the same
+  at-least-once-source + idempotent-sink ⇒ exactly-once argument as the
+  reference's deterministic output identity (ecr/augment.py:124-133).
+
+Late/out-of-order data needs no watermark here: LWW against the target's
+stored (ts, change_lsn) makes stale arrivals lose deterministically — state
+is bounded by the target row, not by stream history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..engine import prepare_delta
+from ..lake.table import LakeTable
+from ..plans.config import RefinePlan
+
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("change_lsn", T.LongType()),
+        T.StructField("ingest_file", T.StringType()),
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def stream_replay(
+    spark: SparkSession,
+    log_path: str,
+    table: LakeTable,
+    plan: RefinePlan,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Tail ``log_path`` as a stream and MERGE each micro-batch.
+
+    With ``available_now=True`` the query drains everything currently in
+    the log and stops (the batch-replay analog, good for tests/backfill);
+    with False it runs continuously.
+    """
+    reader = spark.readStream.schema(CHANGE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    changes = reader.parquet(log_path)
+
+    def handle(df, epoch_id: int):
+        delta = prepare_delta(df, plan)
+        table.merge(delta, f"epoch-{epoch_id:08d}")
+
+    writer = changes.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_change_rates(spark: SparkSession, log_path: str, watermark: str = "1 hour"):
+    """Streaming observability: per-(window, op) change rates with a
+    watermark for late events — tumbling 10-minute windows over event time.
+    (≙ outcome accounting A4, streamed.)"""
+    changes = spark.readStream.schema(CHANGE_SCHEMA).parquet(log_path)
+    return (
+        changes.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes"), F.col("op"))
+        .agg(F.count(F.lit(1)).alias("n"), F.approx_count_distinct("conv_id").alias("convs"))
+    )
+
+
+def streaming_dedup(spark: SparkSession, log_path: str, watermark: str = "1 hour"):
+    """Stateful duplicate-delivery drop in streaming form: watermark-bounded
+    dropDuplicates on (conv_id, turn_idx, change_lsn) — the streaming
+    spelling of operators/cdc.dedup_deliveries (state evicted past the
+    watermark, so memory is bounded)."""
+    changes = spark.readStream.schema(CHANGE_SCHEMA).parquet(log_path)
+    return changes.withWatermark("ts", watermark).dropDuplicates(
+        ["conv_id", "turn_idx", "change_lsn"]
+    )
