@@ -40,21 +40,34 @@ class ReplayStats:
         return self.events / self.seconds if self.seconds else 0.0
 
 
+def normalize_changes(changes: DataFrame) -> DataFrame:
+    """Raw change-log rows → target-schema rows: delete ops become
+    tombstone candidates, refinement/provenance columns are NULL (meaning
+    'not yet refined'). Pure projection, no shuffle."""
+    return (
+        changes.withColumn("_deleted", F.col("op") == "delete")
+        .withColumn("_outcome", F.lit(None).cast("string"))
+        .withColumn("_matched_code", F.lit(None).cast("string"))
+        .withColumn("_matched_display", F.lit(None).cast("string"))
+        .withColumn("_tier", F.lit(None).cast("int"))
+    )
+
+
 def prepare_delta(changes: DataFrame, plan: RefinePlan) -> DataFrame:
-    """changes → merge-ready delta: dedup deliveries → LWW within the batch
-    → refinement pass on upsert winners → tombstone flags.
+    """changes → fully-resolved rows: LWW (duplicate deliveries are
+    identical rows and tie harmlessly — dedup is subsumed by the reduce,
+    saving a whole shuffle) → guarded refinement on the winners.
+
+    This is the single-shot form used by the batch oracle and small jobs.
+    The incremental engine runs the same two stages, but with the LWW
+    taken over (delta ∪ target) inside LakeTable.merge so each batch pays
+    exactly ONE aggregation shuffle (see ReplayEngine.apply_batch).
 
     The whole thing is one Catalyst plan: scan → hash-agg (partial+final)
     → codegen'd projection. No Python in the hot path.
     """
-    deduped = cdc.dedup_deliveries(changes)
-    winners = cdc.lww_resolve(deduped)
-    refined = compile_refinement(plan)(winners)
-    # A turn is dead if the winning op is a delete OR refinement dropped it
-    # (wholesale-removed role / unmatched under a removing narrative).
-    return refined.withColumn(
-        "_deleted", (F.col("op") == "delete") | (~F.col("_keep"))
-    ).drop("_keep")
+    winners = cdc.lww_resolve(normalize_changes(changes))
+    return compile_refinement(plan, guarded=True)(winners)
 
 
 class ReplayEngine:
@@ -68,8 +81,7 @@ class ReplayEngine:
             return {"skipped": True, "batch_id": batch_id}
         # Touched buckets from a conv_id-only column scan of the raw batch
         # (column pruning keeps this to one parquet column + a partial-agg
-        # distinct); the expensive dedup→LWW→refine plan then runs exactly
-        # once, during the merge write, with stats observed in-flight.
+        # distinct).
         from .lake.table import bucket_expr
 
         touched = [
@@ -78,8 +90,16 @@ class ReplayEngine:
                 bucket_expr(self.table.num_buckets).alias("b")
             ).distinct().collect()
         ]
-        delta = prepare_delta(changes, self.plan)
-        return self.table.merge(delta, batch_id, touched_buckets=touched)
+        # The batch is merged RAW: merge runs one LWW over (delta ∪ target)
+        # and then the guarded refinement pass over the fresh winners —
+        # exactly one aggregation shuffle per batch.
+        delta = normalize_changes(changes)
+        return self.table.merge(
+            delta,
+            batch_id,
+            touched_buckets=touched,
+            post_reduce=compile_refinement(self.plan, guarded=True),
+        )
 
     def replay(self, changes: DataFrame, batch_col: str = "ingest_file") -> ReplayStats:
         """Replay every batch in batch-id order (≙ LSN-range order). Batches

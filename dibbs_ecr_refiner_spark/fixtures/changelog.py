@@ -157,6 +157,9 @@ def write_changes(spark: SparkSession, path: str, params: ChangeLogParams | None
     tasks, which is not how a WAL tail arrives."""
     p = params or ChangeLogParams()
     subfile = F.pmod(F.xxhash64(F.col("change_lsn"), F.lit(p.seed + 99)), F.lit(p.files_per_batch))
+    # explicit partition count: a bare repartition(cols) is AQE-rebalanced
+    # down to ~advisory-size partitions (one file per batch at small SF),
+    # which would serialize every downstream scan
     generate_changes(spark, p).repartition(
-        F.col("ingest_file"), subfile
+        p.n_batches * p.files_per_batch, F.col("ingest_file"), subfile
     ).write.mode("overwrite").partitionBy("ingest_file").parquet(path)

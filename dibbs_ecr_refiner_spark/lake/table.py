@@ -207,6 +207,7 @@ class LakeTable:
         batch_id: str,
         touched_buckets: list[int] | None = None,
         replace_buckets: bool = False,
+        post_reduce=None,
     ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
@@ -264,7 +265,6 @@ class LakeTable:
             new_schema, old_files, carried = delta_schema, [], []
 
         cols = [f.name for f in new_schema.fields]
-        payload = [c for c in cols if c not in KEY and c not in ORDER]
 
         def _conform(df: DataFrame) -> DataFrame:
             have = set(df.columns)
@@ -282,27 +282,30 @@ class LakeTable:
             sides.append(self.spark.read.schema(new_schema).parquet(*paths))
         unioned = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
 
-        # LWW reduce (hash agg with map-side partial combine — see
-        # operators/cdc.lww_resolve for the skew rationale).
-        winner = F.max_by(
-            F.struct(*[F.col(c) for c in (*ORDER, *payload)]),
-            F.struct(*[F.col(c) for c in ORDER]),
-        ).alias("_w")
-        merged = (
-            unioned.groupBy(*KEY)
-            .agg(winner)
-            .select(*KEY, *[F.col(f"_w.{c}").alias(c) for c in (*ORDER, *payload)])
-            .select(*cols)
-            .withColumn("_bucket", bucket_expr(self.num_buckets))
-        )
+        # LWW reduce (one aggregation shuffle with map-side partial combine
+        # — see operators/cdc.lww_resolve for the skew rationale), then the
+        # caller's post-reduce transform (the guarded refinement pass) over
+        # the winners.
+        from ..operators.cdc import lww_resolve
 
-        # Write staged data files, one file per touched bucket (hot buckets
-        # split by maxRecordsPerFile).
+        merged = lww_resolve(unioned, key=KEY, order=ORDER)
+        if post_reduce is not None:
+            merged = post_reduce(merged)
+        merged = merged.select(*cols).withColumn("_bucket", bucket_expr(self.num_buckets))
+
+        # Write staged data files. Explicit partition count (a bare
+        # repartition(col) is AQE-rebalanced down to ~one partition at small
+        # sizes, serializing the write), plus a turn-level salt so a hot
+        # conversation's bucket is written by several tasks in parallel —
+        # the explicit hot-key splitting of the north rule; partitionBy
+        # still lays files out per bucket (a bucket just gets >1 file).
         t_write = time.time()
         token = uuid.uuid4().hex
         staging = os.path.join(self._staging_dir, token)
+        salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4))
+        n_out = max(self.spark.sparkContext.defaultParallelism, len(touched))
         (
-            merged.repartition(F.col("_bucket"))
+            merged.repartition(n_out, F.col("_bucket"), salt)
             .write.option("maxRecordsPerFile", 5_000_000)
             .partitionBy("_bucket")
             .parquet(staging)

@@ -45,20 +45,28 @@ def lww_resolve(
 ) -> DataFrame:
     """One winning row per key by lexicographic-max (order..., payload...).
 
-    Exact duplicates tie on (ts, change_lsn) and carry identical payloads,
-    so the tie is harmless; distinct events never tie because change_lsn is
-    unique. Output column order == input column order.
+    Exact duplicate deliveries tie on (ts, change_lsn) and carry identical
+    payloads, so the tie is harmless — which also means an upstream
+    dropDuplicates is unnecessary (dedup is subsumed by this reduce);
+    distinct events never tie because change_lsn is unique.
+    Output column order == input column order.
+
+    Plan-shape note: max_by's struct buffer compiles to SortAggregate (not
+    HashAggregate — UnsafeRow agg buffers can't hold structs), but it keeps
+    the property that matters at scale: a *partial* reduce before the
+    exchange (partial_max_by), so hot keys combine map-side. A packed-string
+    max(...) HashAggregate variant was measured slower (JSON encode/decode
+    outweighs the sort at every scale tried); see git history.
     """
     payload = [c for c in df.columns if c not in key and c not in order]
-    # max_by keeps the ordering key orderable while the payload struct may
-    # carry non-orderable types (maps). Ties happen only for exact duplicate
-    # deliveries (identical payloads), so tie-break nondeterminism is moot.
     winner = F.max_by(
         F.struct(*[F.col(c) for c in (*order, *payload)]),
         F.struct(*[F.col(c) for c in order]),
     ).alias("_w")
     out = df.groupBy(*[F.col(k) for k in key]).agg(winner)
-    return out.select(*key, *[F.col(f"_w.{c}").alias(c) for c in (*order, *payload)]).select(*df.columns)
+    return out.select(
+        *key, *[F.col(f"_w.{c}").alias(c) for c in (*order, *payload)]
+    ).select(*df.columns)
 
 
 def lww_resolve_window(

@@ -43,37 +43,46 @@ OUTCOMES = (
 )
 
 
-TOKENS_COL = "_toks"
+import re as _re
 
 
 def _tokens(col: Column) -> Column:
+    """Token array — used only in the (conditional) reconstruction branch;
+    the hot-path matching uses a single regexp_extract instead (see
+    _first_match)."""
     toks = F.split(F.lower(F.coalesce(col, F.lit(""))), "[^a-z0-9]+")
     return F.filter(toks, lambda t: t != "")
 
 
 def _toks() -> Column:
-    """The materialized token array (added once by apply(); referencing the
-    column instead of re-deriving it keeps the regex split from being
-    re-evaluated per rule — Catalyst CSE doesn't always catch it)."""
-    return F.col(TOKENS_COL)
+    return _tokens(F.col("text"))
 
 
 def _first_match(plan: RefinePlan, target: str, system: str | None) -> Column:
     """First keep-set code found in the rule's target column, else NULL.
 
     target='tool': the tool name itself is the code (≙ code/@code).
-    target='text': lowercase alnum tokens, document order (≙ scanning
+    target='text': first keep-set token in document order (≙ scanning
     code-bearing descendants in document order, entry_matching.py:317-344).
     System scoping ≙ code_system_oid constraint with all-systems fallback
     when unknown (terminology.py:116-154).
+
+    The text match compiles to ONE regexp_extract per rule — a single
+    codegen'd scan of the string. The equivalent
+    filter(tokens, isin(...)) spelling is a higher-order function whose
+    lambda is evaluated interpreted per element: measured ~10× slower on
+    the 2M-row bench batch.
     """
     codes = sorted(plan.codes_for(system))
     if not codes:
         return F.lit(None).cast("string")
     if target == "tool":
         return F.when(F.col("tool").isin(codes), F.col("tool"))
-    hits = F.filter(_toks(), lambda t: t.isin(*codes))
-    return F.when(F.size(hits) > 0, F.element_at(hits, 1))
+    # token boundaries = runs of non-alnum, matching _tokens()
+    alts = "|".join(_re.escape(c) for c in codes)
+    pattern = f"(?:^|[^a-z0-9])({alts})(?:[^a-z0-9]|$)"
+    m = F.regexp_extract(F.lower(F.coalesce(F.col("text"), F.lit(""))), pattern, 1)
+    return F.when(m != "", m)
 
 
 def _rule_match(plan: RefinePlan, rule) -> Column:
@@ -100,7 +109,7 @@ def _reconstructed_text(plan: RefinePlan) -> Column:
     )
 
 
-def compile_refinement(plan: RefinePlan):
+def compile_refinement(plan: RefinePlan, guarded: bool = False):
     """Return fn(DataFrame) -> DataFrame implementing the plan.
 
     Expects transcript-shaped input (role, text, tool present). Pure
@@ -108,6 +117,14 @@ def compile_refinement(plan: RefinePlan):
     whole-stage-codegen'd; Catalyst pushes the cheap include=False
     role filter below anything expensive (≙ skip-rule partition-pruning
     analog, ecr/policy.py:24-82).
+
+    guarded=True: the input already carries ``_outcome``/``_deleted``/
+    provenance columns and only rows with ``_outcome IS NULL`` (fresh
+    change-log winners) are refined; already-refined rows (carried over
+    from the target during a MERGE) pass through untouched. This is what
+    lets the engine run ONE LWW shuffle per batch over (delta ∪ target)
+    and refine afterward — re-refining refined text would not be
+    idempotent (e.g. reconstruction of a reconstruction).
     """
     display_by_code: dict[str, str] = {}
     for k in sorted(plan.keep_codes, key=lambda k: (k.system, k.code)):
@@ -171,18 +188,38 @@ def compile_refinement(plan: RefinePlan):
         return keep, outcome, text
 
     def apply(df: DataFrame) -> DataFrame:
-        out = (
-            df.withColumn(TOKENS_COL, _tokens(F.col("text")))
-            .withColumn("_matched_code", matched_code)
-            .withColumn("_tier", matched_tier)
-        )
+        # Two chained Projects: the match column is computed once in the
+        # first, referenced (cheaply) many times in the second. Requires
+        # CollapseProject to stay excluded (session.py) or the match
+        # expression is re-inlined per reference.
+        if not guarded:
+            out = df.withColumn("_matched_code", matched_code).withColumn("_tier", matched_tier)
+            keep, outcome, text = _branches()
+            return (
+                out.withColumn("_keep", keep)
+                .withColumn("_outcome", outcome)
+                .withColumn("text", text)
+                .withColumn("_matched_display", matched_display)
+            )
+
+        # guarded: refine only fresh (unrefined) rows; CASE branches are
+        # evaluated lazily, so refined rows pay ~nothing.
+        unref = F.col("_outcome").isNull()
+        out = df.withColumn(
+            "_matched_code", F.when(unref, matched_code).otherwise(F.col("_matched_code"))
+        ).withColumn("_tier", F.when(unref, matched_tier).otherwise(F.col("_tier")))
         keep, outcome, text = _branches()
         return (
-            out.withColumn("_keep", keep)
-            .withColumn("_outcome", outcome)
-            .withColumn("text", text)
-            .withColumn("_matched_display", matched_display)
-            .drop(TOKENS_COL)
+            out.withColumn(
+                "_deleted", F.when(unref, F.col("_deleted") | ~keep).otherwise(F.col("_deleted"))
+            )
+            .withColumn("text", F.when(unref, text).otherwise(F.col("text")))
+            .withColumn(
+                "_matched_display",
+                F.when(unref, matched_display).otherwise(F.col("_matched_display")),
+            )
+            # _outcome LAST: the guards above read it
+            .withColumn("_outcome", F.when(unref, outcome).otherwise(F.col("_outcome")))
         )
 
     return apply

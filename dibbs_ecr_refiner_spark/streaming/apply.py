@@ -26,7 +26,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..engine import prepare_delta
+from ..engine import ReplayEngine
 from ..lake.table import LakeTable
 from ..plans.config import RefinePlan
 
@@ -66,9 +66,10 @@ def stream_replay(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     changes = reader.parquet(log_path)
 
+    eng = ReplayEngine(spark, table, plan)
+
     def handle(df, epoch_id: int):
-        delta = prepare_delta(df, plan)
-        table.merge(delta, f"epoch-{epoch_id:08d}")
+        eng.apply_batch(df, f"epoch-{epoch_id:08d}")
 
     writer = changes.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -68,13 +68,19 @@ def test_bucket_pruning_rewrites_only_touched_buckets(spark, tmp_path):
     # many conversations spread over buckets; second merge touches one conv
     rows = [(f"c{i}", 0, f"t{i}", i, False, None) for i in range(40)]
     table = mk(spark, tmp_path, rows, buckets=8)
-    files_v1 = {f["path"]: f for f in table.current_snapshot()["files"]}
+    snap1 = table.current_snapshot()
+    from dibbs_ecr_refiner_spark.lake.table import bucket_expr
+
+    b7 = spark.createDataFrame([("c7",)], "conv_id string").select(bucket_expr(8)).collect()[0][0]
     table.merge(_delta(spark, [("c7", 0, "updated", 100, False, None)]), "b1")
     snap2 = table.current_snapshot()
-    files_v2 = {f["path"]: f for f in snap2["files"]}
-    carried = set(files_v1) & set(files_v2)
-    # every untouched bucket's file is carried over byte-identical
-    assert len(carried) == len(files_v1) - 1
+    untouched_v1 = {f["path"] for f in snap1["files"] if f["bucket"] != b7}
+    untouched_v2 = {f["path"] for f in snap2["files"] if f["bucket"] != b7}
+    touched_v1 = {f["path"] for f in snap1["files"] if f["bucket"] == b7}
+    touched_v2 = {f["path"] for f in snap2["files"] if f["bucket"] == b7}
+    # untouched buckets carried over byte-identical; touched bucket rewritten
+    assert untouched_v1 == untouched_v2
+    assert touched_v1.isdisjoint(touched_v2) and touched_v2
     assert snap2["applied_batches"]["b1"]["buckets_touched"] == 1
     got = {r["conv_id"]: r["text"] for r in table.read().collect()}
     assert got["c7"] == "updated" and got["c3"] == "t3"

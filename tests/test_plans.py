@@ -1,0 +1,88 @@
+"""Physical-plan shape assertions: the properties that make these operators
+survive a 100× scale-up are visible in explain() output — filters reaching
+the parquet scan, broadcast joins for dimensions, partial aggregation for
+the LWW reduce, no Python eval in the hot path. Pin them so regressions in
+plan shape fail CI, not just the wall clock."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from dibbs_ecr_refiner_spark.engine import prepare_delta
+from dibbs_ecr_refiner_spark.fixtures.changelog import ChangeLogParams, generate_changes
+from dibbs_ecr_refiner_spark.plans.config import default_plan
+from dibbs_ecr_refiner_spark.queries import relational
+
+
+def _explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _explain(relational.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 6 needed columns in ReadSchema
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" not in read_schema and "l_quantity" in read_schema
+    # two-phase hash agg (map-side partial combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_is_broadcast(spark, sf_dir):
+    plan = _explain(relational.join_broadcast_semi(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the dimension filter is pushed to its scan
+    assert "LessThan(p_size,10)" in plan
+
+
+def test_enrichment_joins_are_broadcast(spark, sf_dir):
+    plan = _explain(relational.enrich_left_join(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_lww_agg_is_partial_aggregation_not_sort(spark):
+    changes = generate_changes(
+        spark, ChangeLogParams(n_conversations=10, turns_per_conv=2, n_events=200, n_batches=1)
+    )
+    from dibbs_ecr_refiner_spark.operators.cdc import lww_resolve
+
+    plan = _explain(lww_resolve(changes), "simple")
+    # hash-agg based reduce: no global Sort, no Window
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+def test_refine_pass_has_no_python_eval(spark):
+    changes = generate_changes(
+        spark, ChangeLogParams(n_conversations=10, turns_per_conv=2, n_events=200, n_batches=1)
+    )
+    plan = _explain(prepare_delta(changes, default_plan()), "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    # the whole pass is projections + ONE aggregation with a map-side
+    # partial reduce (partial_max_by) — and exactly one exchange: the
+    # dedup shuffle is subsumed by the LWW reduce
+    assert "Project" in plan and "partial_max_by" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_changelog_batch_filter_prunes_partitions(spark, tmp_path):
+    from dibbs_ecr_refiner_spark.fixtures.changelog import write_changes
+
+    log = str(tmp_path / "log")
+    write_changes(
+        spark,
+        log,
+        ChangeLogParams(n_conversations=10, turns_per_conv=2, n_events=400, n_batches=4, files_per_batch=2),
+    )
+    df = spark.read.parquet(log).where(F.col("ingest_file") == "batch-00001")
+    plan = _explain(df)
+    # partition pruning happens at the source (ingest_file is a partition
+    # column — the predicate appears as a partition filter, not a data one)
+    assert "PartitionFilters: [isnotnull(ingest_file" in plan
+    assert df.count() > 0
