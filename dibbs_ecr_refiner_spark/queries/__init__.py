@@ -11,9 +11,9 @@ Modules:
 
 from __future__ import annotations
 
-from . import cdcq, multimodal, relational, text, vectors
+from . import cdcq, multimodal, relational, temporal, text, vectors
 
-_MODULES = (relational, cdcq, text, vectors, multimodal)
+_MODULES = (relational, cdcq, text, vectors, multimodal, temporal)
 
 
 def all_queries():

@@ -1,0 +1,147 @@
+"""Versioned configuration store over lake dimension tables.
+
+Reference chain being reproduced (refiner/app/lambda/lambda_function.py):
+- ``current.json`` holds the active config version int; ``active.json``
+  holds that version's payload, gated on schema_version
+  (:537-627, :881-936)                      → ``_current`` pointer file +
+  per-version parquet dimension tables, schema gate on load
+- maintenance-lock object defers the whole batch (:353-410, :231-233)
+  → ``_lock`` file makes the apply job refuse to run; the batch "returns
+  to the queue" = the replay simply reruns from the checkpoint later
+- Postgres config CRUD (app/db/*) → config *writes* here are snapshot-
+  style too: write tables for version N, then flip ``_current`` atomically
+- the reference guarantees "same fidelity regardless of source"
+  (services/pipeline.py:259-262) → one loader, one RefinePlan, whatever
+  wrote the tables.
+
+Layout::
+
+    <root>/v<NNNN>/refine_config.parquet
+    <root>/v<NNNN>/keep_codes.parquet
+    <root>/v<NNNN>/match_rules.parquet
+    <root>/_current            # version int, atomic rename
+    <root>/_lock               # present ⇒ maintenance in progress
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+
+from ..plans.config import (
+    CURRENT_CONFIG_SCHEMA_VERSION,
+    KeepCode,
+    MatchRule,
+    RefinePlan,
+    RoleInstruction,
+    build_plan,
+)
+
+
+class MaintenanceLocked(Exception):
+    """Config store is locked for maintenance — defer the batch (the rerun
+    picks up from the checkpoint, ≙ SQS visibility-timeout retry)."""
+
+
+def write_config_tables(spark: SparkSession, root: str, plan: RefinePlan) -> int:
+    """Persist a RefinePlan as version-N dimension tables and flip
+    ``_current``. Returns the new version."""
+    cur = _read_current(root)
+    version = (cur or 0) + 1
+    vdir = os.path.join(root, f"v{version:04d}")
+    os.makedirs(vdir, exist_ok=True)
+
+    spark.createDataFrame(
+        [
+            (plan.config_version, i.role, i.include, i.action, i.narrative, plan.schema_version)
+            for i in plan.instructions.values()
+        ],
+        "config_version int, role string, include boolean, action string, "
+        "narrative string, schema_version int",
+    ).write.mode("overwrite").parquet(os.path.join(vdir, "refine_config.parquet"))
+
+    spark.createDataFrame(
+        [(plan.config_version, k.system, k.code, k.display) for k in plan.keep_codes],
+        "config_version int, system string, code string, display string",
+    ).write.mode("overwrite").parquet(os.path.join(vdir, "keep_codes.parquet"))
+
+    spark.createDataFrame(
+        [
+            (r.role, r.rule_idx, r.target, r.system, r.fallback_target, r.preserve_whole, r.tier)
+            for r in plan.rules
+        ],
+        "role string, rule_idx int, target string, system string, "
+        "fallback_target string, preserve_whole boolean, tier int",
+    ).write.mode("overwrite").parquet(os.path.join(vdir, "match_rules.parquet"))
+
+    tmp = os.path.join(root, f"_current.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.rename(tmp, os.path.join(root, "_current"))
+    return version
+
+
+def _read_current(root: str) -> int | None:
+    p = os.path.join(root, "_current")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+class ConfigStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def lock(self) -> None:
+        with open(os.path.join(self.root, "_lock"), "w") as f:
+            f.write("maintenance")
+
+    def unlock(self) -> None:
+        try:
+            os.remove(os.path.join(self.root, "_lock"))
+        except FileNotFoundError:
+            pass
+
+    def is_locked(self) -> bool:
+        return os.path.exists(os.path.join(self.root, "_lock"))
+
+    def current_version(self) -> int | None:
+        return _read_current(self.root)
+
+    def load_plan(self, version: int | None = None) -> RefinePlan:
+        """Resolve the active plan (≙ load_active_configuration):
+        lock gate → current-version pointer → dimension tables → schema
+        gate (inside build_plan) → RefinePlan."""
+        if self.is_locked():
+            raise MaintenanceLocked(self.root)
+        v = version or self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed config version under {self.root}")
+        vdir = os.path.join(self.root, f"v{v:04d}")
+
+        cfg = self.spark.read.parquet(os.path.join(vdir, "refine_config.parquet")).collect()
+        codes = self.spark.read.parquet(os.path.join(vdir, "keep_codes.parquet")).collect()
+        rules = self.spark.read.parquet(os.path.join(vdir, "match_rules.parquet")).collect()
+
+        instructions = [
+            RoleInstruction(r["role"], r["include"], r["action"], r["narrative"]) for r in cfg
+        ]
+        keep = [KeepCode(r["system"], r["code"], r["display"]) for r in codes]
+        mrules = [
+            MatchRule(
+                r["role"], r["rule_idx"], r["target"], r["system"],
+                r["fallback_target"], r["preserve_whole"], r["tier"],
+            )
+            for r in rules
+        ]
+        schema_version = cfg[0]["schema_version"] if cfg else CURRENT_CONFIG_SCHEMA_VERSION
+        config_version = cfg[0]["config_version"] if cfg else v
+        return build_plan(
+            instructions, keep, mrules,
+            config_version=config_version, schema_version=schema_version,
+        )

@@ -1,0 +1,93 @@
+"""Differential test (compiled expressions vs pandas-UDF interpreter),
+grouped-map reconstruction, and the versioned config store + lock gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dibbs_ecr_refiner_spark.engine import ReplayEngine, batch_oracle, final_state_matches
+from dibbs_ecr_refiner_spark.fixtures.changelog import ChangeLogParams, generate_changes
+from dibbs_ecr_refiner_spark.lake.table import LakeTable
+from dibbs_ecr_refiner_spark.operators.cdc import lww_resolve
+from dibbs_ecr_refiner_spark.operators.reconstruct import SUMMARY_TURN_IDX, reconstruct
+from dibbs_ecr_refiner_spark.operators.refine import compile_refinement
+from dibbs_ecr_refiner_spark.operators.refine_udf import apply_refinement_udf
+from dibbs_ecr_refiner_spark.plans.config import default_plan
+from dibbs_ecr_refiner_spark.sources import ConfigStore, MaintenanceLocked, write_config_tables
+
+PARAMS = ChangeLogParams(n_conversations=25, turns_per_conv=6, n_events=1200, n_batches=2)
+OUT = ["conv_id", "turn_idx", "_matched_code", "_tier", "_keep", "_outcome", "text", "_matched_display"]
+
+
+@pytest.fixture(scope="module")
+def winners(spark):
+    df = lww_resolve(generate_changes(spark, PARAMS)).where(F.col("op") != "delete").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_compiled_and_udf_refinement_agree(spark, winners):
+    """Two independent implementations of the same plan must agree
+    row-for-row (the reference's two-engine parity idea, SURVEY §3.2)."""
+    plan = default_plan()
+    a = {tuple(r[c] for c in ["conv_id", "turn_idx"]): tuple(r[c] for c in OUT[2:])
+         for r in compile_refinement(plan)(winners).select(OUT).collect()}
+    b = {tuple(r[c] for c in ["conv_id", "turn_idx"]): tuple(r[c] for c in OUT[2:])
+         for r in apply_refinement_udf(winners, plan).select(OUT).collect()}
+    assert set(a) == set(b)
+    mismatches = {k: (a[k], b[k]) for k in a if a[k] != b[k]}
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {next(iter(mismatches.items()))}"
+
+
+def test_reconstruct_adds_summary_turn(spark, tmp_path, winners):
+    table = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    eng = ReplayEngine(spark, table, default_plan())
+    eng.replay(generate_changes(spark, PARAMS))
+    out = reconstruct(table.read_transcripts()).cache()
+    convs = out.select("conv_id").distinct().count()
+    summaries = out.where(F.col("turn_idx") == SUMMARY_TURN_IDX)
+    assert summaries.count() == convs
+    row = summaries.orderBy("conv_id").first()
+    assert row["role"] == "summary" and "turns=" in row["text"]
+    # deterministic: same input → same summary text
+    again = reconstruct(table.read_transcripts()).where(
+        F.col("turn_idx") == SUMMARY_TURN_IDX
+    )
+    assert sorted(r["text"] for r in summaries.collect()) == sorted(
+        r["text"] for r in again.collect()
+    )
+    out.unpersist()
+
+
+def test_config_store_roundtrip_and_lock(spark, tmp_path):
+    root = str(tmp_path / "cfg")
+    store = ConfigStore(spark, root)
+    plan = default_plan()
+    v1 = write_config_tables(spark, root, plan)
+    assert v1 == 1 and store.current_version() == 1
+    loaded = store.load_plan()
+    assert loaded.instructions == plan.instructions
+    assert set(loaded.keep_codes) == set(plan.keep_codes)
+    assert loaded.rules == plan.rules
+
+    # version bump: flip is atomic, old version still loadable
+    v2 = write_config_tables(spark, root, plan)
+    assert v2 == 2 and store.current_version() == 2
+    assert store.load_plan(version=1).config_version == plan.config_version
+
+    store.lock()
+    with pytest.raises(MaintenanceLocked):
+        store.load_plan()
+    store.unlock()
+    assert store.load_plan() is not None
+
+
+def test_replay_with_store_loaded_plan_matches_oracle(spark, tmp_path):
+    """Same fidelity regardless of config source (≙ pipeline.py:259-262)."""
+    root = str(tmp_path / "cfg")
+    write_config_tables(spark, root, default_plan())
+    plan = ConfigStore(spark, root).load_plan()
+    changes = generate_changes(spark, PARAMS)
+    table = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    ReplayEngine(spark, table, plan).replay(changes)
+    assert final_state_matches(table.read(), batch_oracle(changes, default_plan()))
