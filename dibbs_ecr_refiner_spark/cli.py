@@ -1,0 +1,128 @@
+"""Command-line entry points — the spark-submit deployment surface.
+
+Usage (local or cluster; only --master/conf changes):
+
+    spark-submit --py-files dist/dibbs_ecr_refiner_spark.zip \
+        -m ... cli.py replay --changelog <dir> --table <dir> [--config <dir>]
+    python -m dibbs_ecr_refiner_spark.cli replay ...
+    python -m dibbs_ecr_refiner_spark.cli generate ...
+    python -m dibbs_ecr_refiner_spark.cli compact ...
+    python -m dibbs_ecr_refiner_spark.cli show ...
+
+Every subcommand prints one JSON line (machine-readable, like bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from dibbs_ecr_refiner_spark.session import get_spark
+
+    return get_spark(app_name=f"refiner-{args.cmd}", cores=args.cores)
+
+
+def cmd_generate(args) -> dict:
+    from dibbs_ecr_refiner_spark.fixtures.changelog import ChangeLogParams, write_changes
+
+    spark = _spark(args)
+    params = ChangeLogParams(
+        n_conversations=args.conversations,
+        turns_per_conv=args.turns,
+        n_events=args.events,
+        n_batches=args.batches,
+    )
+    write_changes(spark, args.changelog, params)
+    return {"cmd": "generate", "changelog": args.changelog, "events": args.events}
+
+
+def cmd_replay(args) -> dict:
+    from dibbs_ecr_refiner_spark.engine import ReplayEngine
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+    from dibbs_ecr_refiner_spark.plans.config import default_plan
+    from dibbs_ecr_refiner_spark.sources import ConfigStore
+
+    spark = _spark(args)
+    plan = ConfigStore(spark, args.config).load_plan() if args.config else default_plan()
+    table = LakeTable(spark, args.table, num_buckets=args.buckets)
+    stats = ReplayEngine(spark, table, plan).replay_path(args.changelog)
+    return {
+        "cmd": "replay",
+        "batches_applied": stats.batches,
+        "batches_skipped": stats.batches_skipped,
+        "events": stats.events,
+        "events_per_sec": round(stats.events_per_sec, 1),
+        "snapshot": table.current_snapshot()["snapshot_id"],
+    }
+
+
+def cmd_compact(args) -> dict:
+    from dibbs_ecr_refiner_spark.lake.maintenance import compact, min_safe_gc_lsn
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table, num_buckets=args.buckets)
+    gc_below = min_safe_gc_lsn(table) if args.gc_tombstones else None
+    res = compact(table, drop_tombstones_below=gc_below)
+    return {"cmd": "compact", "gc_below": gc_below, **{k: v for k, v in res.items() if k != "seconds"}}
+
+
+def cmd_show(args) -> dict:
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table, num_buckets=args.buckets)
+    snap = table.current_snapshot()
+    live = table.read().count()
+    return {
+        "cmd": "show",
+        "snapshot": snap["snapshot_id"],
+        "schema_version": snap["schema_version"],
+        "files": len(snap["files"]),
+        "batches_applied": len(snap["applied_batches"]),
+        "live_rows": live,
+        "watermark_min": min((int(v) for v in snap["watermarks"].values()), default=None),
+        "watermark_max": max((int(v) for v in snap["watermarks"].values()), default=None),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="dibbs_ecr_refiner_spark")
+    ap.add_argument("--cores", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a synthetic change log")
+    g.add_argument("--changelog", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--conversations", type=int, default=1000)
+    g.add_argument("--turns", type=int, default=24)
+    g.add_argument("--batches", type=int, default=4)
+
+    r = sub.add_parser("replay", help="apply a change log to a lake table")
+    r.add_argument("--changelog", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--config", default=None, help="config store root (default: built-in plan)")
+    r.add_argument("--buckets", type=int, default=64)
+
+    c = sub.add_parser("compact", help="compact buckets / GC tombstones")
+    c.add_argument("--table", required=True)
+    c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--gc-tombstones", action="store_true")
+
+    s = sub.add_parser("show", help="table status from the current snapshot")
+    s.add_argument("--table", required=True)
+    s.add_argument("--buckets", type=int, default=64)
+
+    args = ap.parse_args(argv)
+    out = {"generate": cmd_generate, "replay": cmd_replay, "compact": cmd_compact, "show": cmd_show}[
+        args.cmd
+    ](args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -170,6 +170,18 @@ class LakeTable:
         """User-facing view: the clean transcripts table of FIXTURES.md §1."""
         return self.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
+    def read_remainder(self) -> DataFrame:
+        """The remainder view (≙ remainder RRs, reference
+        services/pipeline.py:397-484): turns that were reportable (arrived
+        in the change log) but NOT refined into the live table — i.e.
+        refinement-dropped tombstones, with their recorded outcome. The
+        anti-join is free: tombstones carry provenance."""
+        return (
+            self.read(include_tombstones=True)
+            .where(F.col("_deleted") & F.col("_outcome").isin("removed_wholesale", "removed_no_match"))
+            .select("conv_id", "turn_idx", "role", "_outcome", "ts", "change_lsn")
+        )
+
     def lineage(self) -> DataFrame:
         """Per-batch lineage records from the manifest chain (≙ the
         _lineage table of SURVEY.md §7 item 7)."""

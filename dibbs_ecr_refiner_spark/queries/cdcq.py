@@ -165,3 +165,66 @@ def rule_precedence(spark, sf):
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "tier")
     )
+
+
+@q(
+    "sessionize",
+    """
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events))
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity): lag + cumsum over one
+    window — the batch spelling of session_window() (SURVEY §2.9)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+@q(
+    "percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles(spark, sf):
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont); the approx_percentile sketch is the at-scale variant."""
+    return (
+        _events(spark, sf)
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+    )

@@ -32,9 +32,15 @@ def get_spark(
     """
     n = cores or default_cores()
     shuf = shuffle_partitions or max(n, 8)
+    builder = SparkSession.builder
+    # under spark-submit --master (a real cluster), respect it; only
+    # default to local[n] when nothing was provided
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{n}]")
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuf))
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")

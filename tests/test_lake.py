@@ -150,3 +150,22 @@ def test_manifest_is_valid_json_chain(spark, tmp_path):
     assert parent["snapshot_id"] == 1
     lin = table.lineage().collect()
     assert [r["batch_id"] for r in lin] == ["b0", "b1"]
+
+
+def test_read_remainder_view(spark, tmp_path):
+    """Remainder = reportable-but-not-refined turns (≙ remainder RRs)."""
+    from dibbs_ecr_refiner_spark.engine import ReplayEngine
+    from dibbs_ecr_refiner_spark.fixtures.changelog import ChangeLogParams, generate_changes
+    from dibbs_ecr_refiner_spark.plans.config import default_plan
+
+    changes = generate_changes(
+        spark, ChangeLogParams(n_conversations=20, turns_per_conv=6, n_events=800, n_batches=2)
+    )
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    ReplayEngine(spark, table, default_plan()).replay(changes)
+    rem = table.read_remainder()
+    outcomes = {r["_outcome"] for r in rem.select("_outcome").distinct().collect()}
+    assert outcomes <= {"removed_wholesale", "removed_no_match"} and outcomes
+    # disjoint from the live view
+    live = table.read_transcripts().select("conv_id", "turn_idx")
+    assert rem.select("conv_id", "turn_idx").join(live, ["conv_id", "turn_idx"], "inner").isEmpty()
