@@ -70,6 +70,9 @@ def _run_queries(spark) -> dict[str, float]:
     times = {}
     for name in HEADLINE:
         df = qs[name](spark, SF_DIR)
+        # warm-state measurement: first execution pays one-time JIT/codegen
+        # (identical at any scale/cluster size, so it isn't the signal)
+        df.write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)

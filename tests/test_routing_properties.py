@@ -1,0 +1,119 @@
+"""Multi-jurisdiction routing tests + hypothesis property tests for the
+CDC core (LWW equivalences, policy idempotence, generator determinism)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dibbs_ecr_refiner_spark.engine import batch_oracle, final_state_matches
+from dibbs_ecr_refiner_spark.fixtures.changelog import ChangeLogParams, generate_changes
+from dibbs_ecr_refiner_spark.operators import cdc
+from dibbs_ecr_refiner_spark.operators.skew import salted_lww
+from dibbs_ecr_refiner_spark.plans.config import (
+    ACTIONS,
+    NARRATIVES,
+    RoleInstruction,
+    default_plan,
+    normalize_policy,
+)
+from dibbs_ecr_refiner_spark.routing import Router
+
+# ------------------------------------------------------------- routing
+
+
+def test_router_per_jurisdiction_tables_and_skips(spark, tmp_path):
+    changes = generate_changes(
+        spark, ChangeLogParams(n_conversations=15, turns_per_conv=5, n_events=600, n_batches=2)
+    )
+    plans = {"jurA": default_plan(), "jurB": default_plan(), "jurC": None}
+    router = Router(spark, str(tmp_path / "routed"), plans, num_buckets=4)
+    stats = router.replay(changes)
+    assert stats.skipped_jurisdictions == ["jurC"]
+    assert set(stats.per_jurisdiction) == {"jurA", "jurB"}
+    oracle = batch_oracle(changes, default_plan())
+    for jur in ("jurA", "jurB"):
+        assert final_state_matches(router.table(jur).read(), oracle)
+    rems = router.remainders()
+    assert set(rems) == {"jurA", "jurB"}
+    assert rems["jurA"].count() == rems["jurB"].count()
+
+
+# ------------------------------------------------- hypothesis properties
+
+event_st = st.tuples(
+    st.sampled_from(["c1", "c2", "c3"]),           # conv_id
+    st.integers(0, 3),                              # turn_idx
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(0, 86_400),                         # ts offset seconds
+    st.integers(0, 10_000),                         # change_lsn
+    st.text(alphabet="abc ", max_size=8),           # text
+)
+
+
+def _df(spark, events):
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (c, t, op, "user", txt, None, base + dt.timedelta(seconds=s), lsn)
+        for (c, t, op, s, lsn, txt) in events
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, op string, role string, text string, "
+        "tool string, ts timestamp, change_lsn long",
+    )
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event_st, min_size=1, max_size=25))
+def test_lww_spellings_agree(spark, events):
+    """agg max_by == window row_number == salted two-stage, for arbitrary
+    event sets (incl. ties on (ts, lsn) — resolved to SOME row with the
+    winning order key; we compare winning order keys, which are unique
+    given distinct payloads share the key only on true duplicates)."""
+    df = _df(spark, events)
+    key = lambda rows: {  # noqa: E731
+        (r["conv_id"], r["turn_idx"]): (r["ts"], r["change_lsn"]) for r in rows
+    }
+    a = key(cdc.lww_resolve(df).collect())
+    b = key(cdc.lww_resolve_window(df).collect())
+    c = key(salted_lww(df).collect())
+    assert a == b == c
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.booleans(),
+    st.sampled_from(ACTIONS),
+    st.sampled_from(NARRATIVES),
+)
+def test_policy_normalizer_is_idempotent_and_total(include, action, narrative):
+    n1 = normalize_policy(RoleInstruction("r", include, action, narrative))
+    n2 = normalize_policy(n1)
+    assert n1 == n2
+    assert n1.action in ACTIONS and n1.narrative in NARRATIVES
+    if not include:
+        assert (n1.action, n1.narrative) == ("retain", "remove")
+
+
+def test_generator_is_deterministic(spark):
+    p = ChangeLogParams(n_conversations=10, turns_per_conv=4, n_events=500, n_batches=2)
+    a = sorted(map(repr, generate_changes(spark, p).collect()))
+    b = sorted(map(repr, generate_changes(spark, p).collect()))
+    assert a == b
+
+
+@pytest.mark.parametrize("pct_dup", [0.0, 0.3])
+def test_oracle_invariant_under_duplicate_rate(spark, pct_dup):
+    """The final oracle state must be independent of the duplicate-delivery
+    rate (duplicates are pure redeliveries)."""
+    base = ChangeLogParams(
+        n_conversations=12, turns_per_conv=4, n_events=400, n_batches=2, pct_duplicates=0.0
+    )
+    dup = ChangeLogParams(
+        n_conversations=12, turns_per_conv=4, n_events=400, n_batches=2, pct_duplicates=pct_dup
+    )
+    a = batch_oracle(generate_changes(spark, base), default_plan())
+    b = batch_oracle(generate_changes(spark, dup), default_plan())
+    assert final_state_matches(a, b)
