@@ -145,7 +145,11 @@ def main_bench() -> None:
     t_all = time.time()
     times = _run_queries(spark)
 
-    work = tempfile.mkdtemp(prefix="bench-cdc-")
+    # RAM-backed staging when available — consistent with the scaling
+    # methodology (BENCH.md): the single shared local disk is a sandbox
+    # artifact, not part of the engine under test
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-cdc-", dir=tmp_base)
     try:
         log_path = os.path.join(work, "changelog")
         n_events = _make_changelog(spark, log_path)

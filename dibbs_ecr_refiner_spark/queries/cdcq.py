@@ -170,7 +170,7 @@ def rule_precedence(spark, sf):
 @q(
     "sessionize",
     """
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM (
       SELECT user_id, ts,

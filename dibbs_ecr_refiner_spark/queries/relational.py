@@ -582,3 +582,25 @@ def json_extract(spark, sf):
     return _t(spark, sf, "events").select(
         "event_id", F.get_json_object("props", "$.k").alias("k")
     )
+
+
+@q(
+    "pivot_status",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark, sf):
+    """Pivot (wide aggregation): groupBy + pivot compiles to the same
+    conditional-aggregate plan as the CASE-WHEN oracle."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )

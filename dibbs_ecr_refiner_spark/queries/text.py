@@ -227,7 +227,7 @@ def dedup_minhash_lsh(spark, sf):
       FROM hashed, (SELECT unnest(range(32)) AS j) j
       GROUP BY doc_id, j.j)
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -384,3 +384,57 @@ def doc_fingerprint(spark, sf):
         hashes, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % 1000000007
     )
     return _with_tok(spark, sf).select("doc_id", fp.alias("fingerprint"))
+
+
+def _minhash_verified_sql() -> str:
+    cand = _minhash_band_sql()
+    return f"""
+    WITH cand AS ({cand}),
+    grams2 AS (SELECT DISTINCT doc_id, g FROM ({_NGRAM_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams2 GROUP BY doc_id),
+    common AS (
+      SELECT c.a, c.b, COUNT(*) AS cnt
+      FROM cand c
+      JOIN grams2 ga ON ga.doc_id = c.a
+      JOIN grams2 gb ON gb.doc_id = c.b AND gb.g = ga.g
+      GROUP BY c.a, c.b)
+    SELECT common.a, common.b,
+           CAST(common.cnt AS DOUBLE) / (sa.sz + sb.sz - common.cnt) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.a = sa.doc_id
+    JOIN sizes sb ON common.b = sb.doc_id
+    WHERE CAST(common.cnt AS DOUBLE) / (sa.sz + sb.sz - common.cnt) >= 0.5
+    """
+
+
+@q("dedup_minhash_verified", _minhash_verified_sql())
+def dedup_minhash_verified(spark, sf):
+    """Two-stage near-dup: MinHash-LSH candidate generation, then EXACT
+    Jaccard verification of only the candidates (the standard at-scale
+    pipeline — sketch recall, exact precision; verification cost is
+    O(candidates), not O(n²))."""
+    cand = dedup_minhash_lsh(spark, sf)
+    grams = (
+        _with_tok(spark, sf)
+        .select("doc_id", F.explode(_ngrams(F.col("tok"))).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ga = grams.select(F.col("doc_id").alias("a"), F.col("g"))
+    gb = grams.select(F.col("doc_id").alias("b2"), F.col("g").alias("g2"))
+    common = (
+        cand.join(ga, "a")
+        .join(gb, (F.col("b") == F.col("b2")) & (F.col("g") == F.col("g2")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa")
+    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb")
+    jac = F.col("cnt").cast("double") / (F.col("sa") + F.col("sb") - F.col("cnt"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+    )
