@@ -105,7 +105,9 @@ def _reconstructed_text(plan: RefinePlan) -> Column:
         F.lit(plan.config_version),
         F.col("role"),
         n,
-        F.coalesce(F.element_at(_toks(), 1), F.lit("")),
+        # try_element_at: empty text → empty token array, and plain
+        # element_at throws under ANSI semantics (found by hypothesis)
+        F.coalesce(F.try_element_at(_toks(), F.lit(1)), F.lit("")),
     )
 
 

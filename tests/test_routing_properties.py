@@ -117,3 +117,55 @@ def test_oracle_invariant_under_duplicate_rate(spark, pct_dup):
     a = batch_oracle(generate_changes(spark, base), default_plan())
     b = batch_oracle(generate_changes(spark, dup), default_plan())
     assert final_state_matches(a, b)
+
+
+# randomized end-to-end: arbitrary tiny changelogs, incremental replay
+# must equal the single-shot oracle
+
+changelog_st = st.lists(
+    st.tuples(
+        st.sampled_from(["c1", "c2"]),
+        st.integers(0, 2),
+        st.sampled_from(["insert", "update", "delete", "refine"]),
+        st.integers(0, 3600),
+        st.integers(0, 500),
+        st.sampled_from(["user", "assistant", "tool", "system"]),
+        st.sampled_from(["hello there", "patient has fever", "alert raised", ""]),
+        st.sampled_from([None, "t0", "t9"]),
+        st.integers(0, 1),  # batch assignment
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _changes_df(spark, events):
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (
+            c, t, op,
+            None if op == "delete" else role,
+            None if op == "delete" else txt,
+            None if op == "delete" else tool,
+            base + dt.timedelta(seconds=s), lsn, f"batch-{b}",
+        )
+        for (c, t, op, s, lsn, role, txt, tool, b) in events
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, op string, role string, text string, "
+        "tool string, ts timestamp, change_lsn long, ingest_file string",
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(changelog_st)
+def test_random_replay_matches_oracle(spark, tmp_path_factory, events):
+    from dibbs_ecr_refiner_spark.engine import ReplayEngine
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    changes = _changes_df(spark, events)
+    root = tmp_path_factory.mktemp("hyp-lake")
+    table = LakeTable(spark, str(root / "t"), num_buckets=2)
+    ReplayEngine(spark, table, default_plan()).replay(changes)
+    assert final_state_matches(table.read(), batch_oracle(changes, default_plan()))

@@ -101,3 +101,38 @@ def test_streaming_dedup(spark, log_dir):
     q.awaitTermination(300)
     out = spark.sql("SELECT conv_id, turn_idx, change_lsn FROM dedup")
     assert out.count() == out.distinct().count()
+
+
+def test_stateful_conversation_digest(spark, tmp_path, log_dir):
+    """applyInPandasWithState: running per-conversation digests across
+    micro-batches; state accumulates (turns_seen grows monotonically,
+    max_lsn equals the log's per-conversation max)."""
+    from dibbs_ecr_refiner_spark.streaming.apply import CHANGE_SCHEMA
+    from dibbs_ecr_refiner_spark.streaming.stateful import conversation_digest
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+    q = (
+        conversation_digest(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("digest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql(
+        "SELECT conv_id, max(max_lsn) AS max_lsn, max(turns_seen) AS turns "
+        "FROM digest GROUP BY conv_id"
+    )
+    expected = (
+        spark.read.parquet(log_dir)
+        .groupBy("conv_id")
+        .agg(F.max("change_lsn").alias("want_lsn"))
+    )
+    joined = out.join(expected, "conv_id")
+    assert joined.where(F.col("max_lsn") != F.col("want_lsn")).isEmpty()
+    assert joined.where(F.col("turns") <= 0).isEmpty()
