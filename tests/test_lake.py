@@ -169,3 +169,29 @@ def test_read_remainder_view(spark, tmp_path):
     # disjoint from the live view
     live = table.read_transcripts().select("conv_id", "turn_idx")
     assert rem.select("conv_id", "turn_idx").join(live, ["conv_id", "turn_idx"], "inner").isEmpty()
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    """S3 analog: malformed change-log lines are quarantined, not fatal;
+    valid rows flow through to replay."""
+    import json as _json
+
+    from dibbs_ecr_refiner_spark.sources.ingest import read_change_log_json
+
+    p = tmp_path / "log.jsonl"
+    good = {
+        "conv_id": "c1", "turn_idx": 0, "op": "insert", "role": "user",
+        "text": "hello", "tool": None, "ts": "2026-01-01T00:00:00Z",
+        "change_lsn": 1, "ingest_file": "b0", "extra": {"src": "t"},
+    }
+    lines = [
+        _json.dumps(good),
+        '{"this is not valid json',                      # syntax error
+        _json.dumps({"op": "insert", "text": "no key"}),  # parses, no PK
+        _json.dumps({**good, "turn_idx": 1, "change_lsn": 2}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    valid, quarantined = read_change_log_json(spark, str(p))
+    assert valid.count() == 2
+    assert quarantined.count() == 2
+    assert {r["turn_idx"] for r in valid.collect()} == {0, 1}
