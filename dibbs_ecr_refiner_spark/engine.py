@@ -76,20 +76,24 @@ class ReplayEngine:
         self.table = table
         self.plan = plan
 
-    def apply_batch(self, changes: DataFrame, batch_id: str) -> dict:
+    def apply_batch(
+        self, changes: DataFrame, batch_id: str, touched: list[int] | None = None
+    ) -> dict:
         if self.table.is_applied(batch_id):
             return {"skipped": True, "batch_id": batch_id}
-        # Touched buckets from a conv_id-only column scan of the raw batch
-        # (column pruning keeps this to one parquet column + a partial-agg
-        # distinct).
-        from .lake.table import bucket_expr
+        if touched is None:
+            # Touched buckets from a conv_id-only column scan of the raw
+            # batch (column pruning keeps this to one parquet column + a
+            # partial-agg distinct). replay() precomputes these for ALL
+            # batches in one pass instead.
+            from .lake.table import bucket_expr
 
-        touched = [
-            r[0]
-            for r in changes.select(
-                bucket_expr(self.table.num_buckets).alias("b")
-            ).distinct().collect()
-        ]
+            touched = [
+                r[0]
+                for r in changes.select(
+                    bucket_expr(self.table.num_buckets).alias("b")
+                ).distinct().collect()
+            ]
         # The batch is merged RAW: merge runs one LWW over (delta ∪ target)
         # and then the guarded refinement pass over the fresh winners —
         # exactly one aggregation shuffle per batch.
@@ -105,13 +109,26 @@ class ReplayEngine:
         """Replay every batch in batch-id order (≙ LSN-range order). Batches
         already recorded in the manifest are skipped — resuming after a
         crash replays only uncommitted work (exactly-once)."""
+        from .lake.table import bucket_expr
+
         stats = ReplayStats()
-        stats.events = changes.count()
-        batch_ids = [r[0] for r in changes.select(batch_col).distinct().collect()]
+        # one pass over (batch_col, conv_id) for the event count, the batch
+        # list AND every batch's touched-bucket set — replaces one driver
+        # job per batch with a single partial-agg job
+        pre = (
+            changes.groupBy(batch_col)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(bucket_expr(self.table.num_buckets)).alias("buckets"),
+            )
+            .collect()
+        )
+        stats.events = sum(r["n"] for r in pre)
+        touched_by_batch = {r[batch_col]: sorted(r["buckets"]) for r in pre}
         t0 = time.time()
-        for batch_id in sorted(batch_ids):
+        for batch_id in sorted(touched_by_batch):
             batch = changes.where(F.col(batch_col) == batch_id)
-            res = self.apply_batch(batch, batch_id)
+            res = self.apply_batch(batch, batch_id, touched=touched_by_batch[batch_id])
             if res.get("skipped"):
                 stats.batches_skipped += 1
             else:
