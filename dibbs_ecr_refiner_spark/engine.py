@@ -27,6 +27,18 @@ from .plans.config import RefinePlan
 CHANGE_COLS = ("conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "change_lsn")
 
 
+def _touched_and_hot(bucket_counts: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Hot = a bucket carrying >2× the mean delta rows (the cheap pre-pass
+    hot-key detection of SURVEY §4 item 1); hot buckets get salted parallel
+    writes, cold ones stay one-file-per-bucket."""
+    touched = sorted(bucket_counts)
+    if not touched:
+        return [], []
+    mean = sum(bucket_counts.values()) / len(bucket_counts)
+    hot = sorted(b for b, n in bucket_counts.items() if n > 2 * mean)
+    return touched, hot
+
+
 @dataclass
 class ReplayStats:
     batches: int = 0
@@ -77,23 +89,27 @@ class ReplayEngine:
         self.plan = plan
 
     def apply_batch(
-        self, changes: DataFrame, batch_id: str, touched: list[int] | None = None
+        self,
+        changes: DataFrame,
+        batch_id: str,
+        touched: list[int] | None = None,
+        hot: list[int] | None = None,
     ) -> dict:
         if self.table.is_applied(batch_id):
             return {"skipped": True, "batch_id": batch_id}
         if touched is None:
-            # Touched buckets from a conv_id-only column scan of the raw
-            # batch (column pruning keeps this to one parquet column + a
-            # partial-agg distinct). replay() precomputes these for ALL
-            # batches in one pass instead.
+            # Touched + hot buckets from a conv_id-only column scan of the
+            # raw batch (column pruning keeps this to one parquet column +
+            # a partial agg). replay() precomputes these for ALL batches in
+            # one pass instead.
             from .lake.table import bucket_expr
 
-            touched = [
-                r[0]
-                for r in changes.select(
-                    bucket_expr(self.table.num_buckets).alias("b")
-                ).distinct().collect()
-            ]
+            counts = (
+                changes.groupBy(bucket_expr(self.table.num_buckets).alias("b"))
+                .count()
+                .collect()
+            )
+            touched, hot = _touched_and_hot({r["b"]: r["count"] for r in counts})
         # The batch is merged RAW: merge runs one LWW over (delta ∪ target)
         # and then the guarded refinement pass over the fresh winners —
         # exactly one aggregation shuffle per batch.
@@ -103,6 +119,7 @@ class ReplayEngine:
             batch_id,
             touched_buckets=touched,
             post_reduce=compile_refinement(self.plan, guarded=True),
+            hot_buckets=hot,
         )
 
     def replay(self, changes: DataFrame, batch_col: str = "ingest_file") -> ReplayStats:
@@ -112,23 +129,25 @@ class ReplayEngine:
         from .lake.table import bucket_expr
 
         stats = ReplayStats()
-        # one pass over (batch_col, conv_id) for the event count, the batch
-        # list AND every batch's touched-bucket set — replaces one driver
-        # job per batch with a single partial-agg job
+        # one pass over (batch_col, bucket) for the event count, the batch
+        # list AND every batch's touched/hot bucket sets — replaces one
+        # driver job per batch with a single partial-agg job
         pre = (
-            changes.groupBy(batch_col)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.collect_set(bucket_expr(self.table.num_buckets)).alias("buckets"),
+            changes.groupBy(
+                F.col(batch_col), bucket_expr(self.table.num_buckets).alias("b")
             )
+            .count()
             .collect()
         )
-        stats.events = sum(r["n"] for r in pre)
-        touched_by_batch = {r[batch_col]: sorted(r["buckets"]) for r in pre}
+        stats.events = sum(r["count"] for r in pre)
+        by_batch: dict[str, dict[int, int]] = {}
+        for r in pre:
+            by_batch.setdefault(r[batch_col], {})[r["b"]] = r["count"]
         t0 = time.time()
-        for batch_id in sorted(touched_by_batch):
+        for batch_id in sorted(by_batch):
+            touched, hot = _touched_and_hot(by_batch[batch_id])
             batch = changes.where(F.col(batch_col) == batch_id)
-            res = self.apply_batch(batch, batch_id, touched=touched_by_batch[batch_id])
+            res = self.apply_batch(batch, batch_id, touched=touched, hot=hot)
             if res.get("skipped"):
                 stats.batches_skipped += 1
             else:

@@ -220,6 +220,7 @@ class LakeTable:
         touched_buckets: list[int] | None = None,
         replace_buckets: bool = False,
         post_reduce=None,
+        hot_buckets: list[int] | None = None,
     ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
@@ -307,14 +308,22 @@ class LakeTable:
 
         # Write staged data files. Explicit partition count (a bare
         # repartition(col) is AQE-rebalanced down to ~one partition at small
-        # sizes, serializing the write), plus a turn-level salt so a hot
-        # conversation's bucket is written by several tasks in parallel —
-        # the explicit hot-key splitting of the north rule; partitionBy
-        # still lays files out per bucket (a bucket just gets >1 file).
+        # sizes, serializing the write). Hot buckets — detected by the
+        # caller from per-bucket delta counts — additionally get a
+        # turn-level salt so one hot conversation's bucket is written by
+        # several tasks in parallel (the explicit hot-key splitting of the
+        # north rule); cold buckets stay one-file-per-bucket so later
+        # target reads don't pay a per-file open cost 4× over.
         t_write = time.time()
         token = uuid.uuid4().hex
         staging = os.path.join(self._staging_dir, token)
-        salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4))
+        if hot_buckets:
+            salt = F.when(
+                F.col("_bucket").isin([int(b) for b in hot_buckets]),
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4)),
+            ).otherwise(F.lit(0))
+        else:
+            salt = F.lit(0)
         n_out = max(self.spark.sparkContext.defaultParallelism, len(touched))
         (
             merged.repartition(n_out, F.col("_bucket"), salt)
