@@ -197,11 +197,16 @@ def main_scaling() -> None:
     from dibbs_ecr_refiner_spark.session import get_spark
 
     # scaling workload: larger, fewer batches than the throughput bench so
-    # per-batch fixed costs (job setup, commit) don't masquerade as a
-    # serial fraction
-    REPLAY_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000"))
+    # per-batch fixed driver costs (~1.5-2s of job scheduling + plan
+    # analysis + commit per batch, identical at any core count) don't
+    # masquerade as a serial fraction — at the 10^10-event target scale a
+    # batch is orders of magnitude larger than these constants
+    REPLAY_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "16000000"))
     REPLAY_PARAMS = dict(
-        n_conversations=80_000, turns_per_conv=24, n_events=REPLAY_EVENTS, n_batches=4
+        n_conversations=160_000,
+        turns_per_conv=24,
+        n_events=REPLAY_EVENTS,
+        n_batches=int(os.environ.get("SPARK_GRAFT_SCALE_BATCHES", "2")),
     )
     spark = get_spark(app_name="bench-gen", cores=CPUS)
     work = tempfile.mkdtemp(prefix="bench-scaling-")
