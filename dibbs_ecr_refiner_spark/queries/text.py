@@ -438,3 +438,67 @@ def dedup_minhash_verified(spark, sf):
         .where(F.col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
     )
+
+
+def _cluster_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_band_sql()}),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION SELECT b, a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc AS (
+      SELECT id, id AS root FROM nodes
+      UNION
+      SELECT e.dst AS id, cc.root
+      FROM cc JOIN edges e ON cc.id = e.src
+      WHERE cc.root < e.dst OR cc.root < cc.id)
+    SELECT id AS doc_id, MIN(root) AS cluster_id FROM cc GROUP BY id
+    """
+
+
+@q("dedup_clusters", _cluster_sql())
+def dedup_clusters(spark, sf):
+    """Dedup cluster formation: connected components over the near-dup
+    candidate graph (every doc labeled with the min doc_id reachable from
+    it — the canonical representative a training pipeline keeps).
+
+    Spark shape: iterative label propagation — each round every node takes
+    the min label among itself and its neighbors (one broadcast-or-shuffle
+    join + min agg per round), converging in O(graph diameter) rounds.
+    This is the standard large-scale CC algorithm (hash-join based, no
+    GraphX needed); candidate graphs from LSH have tiny diameters."""
+    pairs = dedup_minhash_lsh(spark, sf)
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(10):  # diameter bound; LSH components are tiny
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
