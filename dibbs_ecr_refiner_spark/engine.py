@@ -94,22 +94,24 @@ class ReplayEngine:
         batch_id: str,
         touched: list[int] | None = None,
         hot: list[int] | None = None,
+        bucket_lsn_max: dict[int, int] | None = None,
     ) -> dict:
         if self.table.is_applied(batch_id):
             return {"skipped": True, "batch_id": batch_id}
         if touched is None:
-            # Touched + hot buckets from a conv_id-only column scan of the
-            # raw batch (column pruning keeps this to one parquet column +
-            # a partial agg). replay() precomputes these for ALL batches in
-            # one pass instead.
+            # Touched + hot buckets and per-bucket applied-LSN maxes from a
+            # two-column scan of the raw batch (column pruning keeps this to
+            # conv_id+change_lsn + a partial agg). replay() precomputes
+            # these for ALL batches in one pass instead.
             from .lake.table import bucket_expr
 
             counts = (
                 changes.groupBy(bucket_expr(self.table.num_buckets).alias("b"))
-                .count()
+                .agg(F.count(F.lit(1)).alias("count"), F.max("change_lsn").alias("lsn"))
                 .collect()
             )
             touched, hot = _touched_and_hot({r["b"]: r["count"] for r in counts})
+            bucket_lsn_max = {int(r["b"]): int(r["lsn"]) for r in counts}
         # The batch is merged RAW: merge runs one LWW over (delta ∪ target)
         # and then the guarded refinement pass over the fresh winners —
         # exactly one aggregation shuffle per batch.
@@ -120,6 +122,7 @@ class ReplayEngine:
             touched_buckets=touched,
             post_reduce=compile_refinement(self.plan, guarded=True),
             hot_buckets=hot,
+            bucket_lsn_max=bucket_lsn_max,
         )
 
     def replay(self, changes: DataFrame, batch_col: str = "ingest_file") -> ReplayStats:
@@ -130,24 +133,33 @@ class ReplayEngine:
 
         stats = ReplayStats()
         # one pass over (batch_col, bucket) for the event count, the batch
-        # list AND every batch's touched/hot bucket sets — replaces one
-        # driver job per batch with a single partial-agg job
+        # list, every batch's touched/hot bucket sets AND the true
+        # per-bucket applied-LSN watermarks — replaces one driver job per
+        # batch with a single partial-agg job
         pre = (
             changes.groupBy(
                 F.col(batch_col), bucket_expr(self.table.num_buckets).alias("b")
             )
-            .count()
+            .agg(F.count(F.lit(1)).alias("count"), F.max("change_lsn").alias("lsn"))
             .collect()
         )
         stats.events = sum(r["count"] for r in pre)
         by_batch: dict[str, dict[int, int]] = {}
+        lsn_by_batch: dict[str, dict[int, int]] = {}
         for r in pre:
             by_batch.setdefault(r[batch_col], {})[r["b"]] = r["count"]
+            lsn_by_batch.setdefault(r[batch_col], {})[int(r["b"])] = int(r["lsn"])
         t0 = time.time()
         for batch_id in sorted(by_batch):
             touched, hot = _touched_and_hot(by_batch[batch_id])
             batch = changes.where(F.col(batch_col) == batch_id)
-            res = self.apply_batch(batch, batch_id, touched=touched, hot=hot)
+            res = self.apply_batch(
+                batch,
+                batch_id,
+                touched=touched,
+                hot=hot,
+                bucket_lsn_max=lsn_by_batch[batch_id],
+            )
             if res.get("skipped"):
                 stats.batches_skipped += 1
             else:

@@ -57,9 +57,69 @@ def compact(
     batch_id = f"compact-{snap['snapshot_id']}-{int(time.time() * 1000)}"
     # replace_buckets: the filtered read IS the new bucket content (rows are
     # already LWW winners); merge handles file layout + snapshot commit.
-    res = table.merge(df, batch_id, touched_buckets=buckets, replace_buckets=True)
+    # advance_watermarks=False: rewriting old content applies no new events,
+    # so per-bucket watermarks must not be inflated to the table max.
+    res = table.merge(
+        df,
+        batch_id,
+        touched_buckets=buckets,
+        replace_buckets=True,
+        advance_watermarks=False,
+    )
     res["compacted_buckets"] = len(buckets)
     return res
+
+
+def gc_orphans(table: LakeTable, min_age_sec: float = 3600.0) -> dict:
+    """Remove data files not referenced by the current snapshot: commit dirs
+    orphaned by a crash before commit or by a SnapshotConflict loser, stale
+    staging dirs, and data files superseded by compaction. ``min_age_sec``
+    guards in-flight writers (an uncommitted dir younger than the horizon is
+    left alone). ≙ Iceberg's remove_orphan_files."""
+    import os
+    import shutil
+
+    snap = table.current_snapshot()
+    referenced = {f["path"] for f in snap["files"]} if snap else set()
+    now = time.time()
+    removed_dirs, removed_files = 0, 0
+
+    for token_dir in os.listdir(table._staging_dir):
+        p = os.path.join(table._staging_dir, token_dir)
+        if now - os.path.getmtime(p) >= min_age_sec:
+            shutil.rmtree(p, ignore_errors=True)
+            removed_dirs += 1
+
+    data_dir = table._data_dir
+    for entry in os.listdir(data_dir):
+        p = os.path.join(data_dir, entry)
+        if not os.path.isdir(p):
+            # legacy flat layout: data/bNNN-sNNN-*.parquet
+            rel = f"data/{entry}"
+            if rel not in referenced and now - os.path.getmtime(p) >= min_age_sec:
+                os.remove(p)
+                removed_files += 1
+            continue
+        prefix = f"data/{entry}/"
+        if any(r.startswith(prefix) for r in referenced):
+            # Partially referenced commit dir (e.g. compaction superseded
+            # some of its buckets): remove just the unreferenced files.
+            for dirpath, _dirs, files in os.walk(p):
+                for fn in files:
+                    fp = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(fp, table.root)
+                    if (
+                        fn.endswith(".parquet")
+                        and rel not in referenced
+                        and now - os.path.getmtime(fp) >= min_age_sec
+                    ):
+                        os.remove(fp)
+                        removed_files += 1
+            continue
+        if now - os.path.getmtime(p) >= min_age_sec:
+            shutil.rmtree(p, ignore_errors=True)
+            removed_dirs += 1
+    return {"removed_dirs": removed_dirs, "removed_files": removed_files}
 
 
 def min_safe_gc_lsn(table: LakeTable) -> int | None:

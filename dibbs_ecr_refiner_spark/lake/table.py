@@ -16,10 +16,16 @@ The design mirrors, at lake scale, the reference's two commit artifacts:
 Layout::
 
     <root>/
-      data/b<bucket>-s<snapshot>-<n>.parquet     # immutable data files
+      data/c<token>/_bucket=<b>/part-*.parquet   # immutable per-commit dirs
       _manifests/v<NNNNNNNN>.json                # immutable snapshots
       _manifests/_current                        # pointer, atomic rename
       _staging/<token>/...                       # uncommitted writes
+
+Commit-dir names carry a uuid token, not the snapshot version, so two
+concurrent writers racing for the same snapshot_id write disjoint paths —
+the loser's SnapshotConflict leaves an orphan dir (swept by
+maintenance.gc_orphans), never a clobbered committed file. Finalize is a
+single directory rename: cost independent of file count.
 
 Scale properties:
 - **Copy-on-write at bucket granularity.** ``conv_id`` hash-buckets the
@@ -44,11 +50,9 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -99,6 +103,12 @@ class LakeTable:
         self._staging_dir = os.path.join(root, "_staging")
         for d in (self._manifest_dir, self._data_dir, self._staging_dir):
             os.makedirs(d, exist_ok=True)
+        # An existing table's bucketing is authoritative: opening with a
+        # different num_buckets would silently mis-assign buckets and break
+        # the LWW union of a key's existing rows.
+        snap = self.current_snapshot()
+        if snap is not None:
+            self.num_buckets = int(snap.get("num_buckets", num_buckets))
 
     # ---------------- snapshot plumbing ----------------
 
@@ -221,6 +231,8 @@ class LakeTable:
         replace_buckets: bool = False,
         post_reduce=None,
         hot_buckets: list[int] | None = None,
+        bucket_lsn_max: dict[int, int] | None = None,
+        advance_watermarks: bool = True,
     ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
@@ -315,7 +327,12 @@ class LakeTable:
         # north rule); cold buckets stay one-file-per-bucket so later
         # target reads don't pay a per-file open cost 4× over.
         t_write = time.time()
-        token = uuid.uuid4().hex
+        # File identity is claimed by a per-commit uuid token, never by the
+        # snapshot version: two concurrent writers racing for snapshot_id+1
+        # write into disjoint directories, so the loser (whose _commit raises
+        # SnapshotConflict) can never clobber the winner's committed files —
+        # its orphaned directory is swept by gc_orphans().
+        token = uuid.uuid4().hex[:12]
         staging = os.path.join(self._staging_dir, token)
         if hot_buckets:
             salt = F.when(
@@ -333,29 +350,23 @@ class LakeTable:
         )
         t_write = time.time() - t_write
 
+        # Finalize: ONE directory rename publishes the whole commit's data
+        # (cost independent of file count — no per-file move, no parquet
+        # footer reads; row counts come from the in-flight Observation).
+        # The manifest then references files at their nested final paths.
         t_files = time.time()
         new_version = (snap["snapshot_id"] + 1) if snap else 1
+        commit_rel = f"data/c{token}"
+        commit_dir = os.path.join(self.root, commit_rel)
+        os.replace(staging, commit_dir)
         new_files = []
-        for bdir in sorted(os.listdir(staging)):
+        for bdir in sorted(os.listdir(commit_dir)):
             if not bdir.startswith("_bucket="):
                 continue
             b = int(bdir.split("=", 1)[1])
-            i = 0
-            for fn in sorted(os.listdir(os.path.join(staging, bdir))):
-                if not fn.endswith(".parquet"):
-                    continue
-                src = os.path.join(staging, bdir, fn)
-                rel = f"data/b{b:05d}-s{new_version:08d}-{i:04d}.parquet"
-                os.replace(src, os.path.join(self.root, rel))
-                new_files.append(
-                    {
-                        "path": rel,
-                        "bucket": b,
-                        "rows": pq.read_metadata(os.path.join(self.root, rel)).num_rows,
-                    }
-                )
-                i += 1
-        shutil.rmtree(staging, ignore_errors=True)
+            for fn in sorted(os.listdir(os.path.join(commit_dir, bdir))):
+                if fn.endswith(".parquet"):
+                    new_files.append({"path": f"{commit_rel}/{bdir}/{fn}", "bucket": b})
         t_files = time.time() - t_files
 
         stats = obs.get
@@ -364,10 +375,22 @@ class LakeTable:
             # commit so the batch is recorded as applied (exactly-once).
             stats = {"lsn_min": -1, "lsn_max": -1, "n": 0, "n_del": 0}
 
+        # Per-bucket high-watermarks: prefer the caller's true per-bucket
+        # max(change_lsn) (the replay pre-pass computes it in the same agg
+        # as the bucket counts); without it fall back to the batch-global
+        # lsn_max, which overstates cold buckets but stays GC-safe because
+        # batches commit in contiguous LSN order. Maintenance rewrites
+        # (compaction) pass advance_watermarks=False: rewriting old content
+        # applies no new events.
         watermarks = dict(snap["watermarks"]) if snap else {}
-        if stats["n"]:
+        if stats["n"] and advance_watermarks:
             for b in touched:
-                watermarks[str(b)] = max(int(watermarks.get(str(b), -1)), int(stats["lsn_max"]))
+                applied_lsn = (
+                    bucket_lsn_max.get(b, int(stats["lsn_max"]))
+                    if bucket_lsn_max is not None
+                    else int(stats["lsn_max"])
+                )
+                watermarks[str(b)] = max(int(watermarks.get(str(b), -1)), int(applied_lsn))
 
         applied = dict(snap["applied_batches"]) if snap else {}
         n_del = int(stats["n_del"] or 0)

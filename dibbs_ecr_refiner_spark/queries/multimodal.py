@@ -72,7 +72,12 @@ def mm_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    return decode_media(media)
+    # The driver's rows-only canonicalizer sorts values in pandas, which
+    # cannot hash list cells — stringify the feature vector for the contract
+    # row; decode_media itself keeps the real array<float> column.
+    return decode_media(media).withColumn(
+        "feat", F.col("feat").cast("string")
+    )
 
 
 QUERIES["mm_decode_stub"] = mm_decode_stub

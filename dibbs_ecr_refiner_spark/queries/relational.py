@@ -334,8 +334,8 @@ def group_collect_set(spark, sf):
     """
     SELECT CAST(SUM(length(text)) AS BIGINT) AS unrefined_bytes,
            CAST(SUM(CASE WHEN lang = 'en' THEN length(text) ELSE 0 END) AS BIGINT) AS refined_bytes,
-           FLOOR((SUM(length(text)) - SUM(CASE WHEN lang = 'en' THEN length(text) ELSE 0 END))
-                 * 100.0 / SUM(length(text))) AS reduction_pct
+           CAST(FLOOR((SUM(length(text)) - SUM(CASE WHEN lang = 'en' THEN length(text) ELSE 0 END))
+                 * 100.0 / SUM(length(text))) AS BIGINT) AS reduction_pct
     FROM documents
     """,
 )

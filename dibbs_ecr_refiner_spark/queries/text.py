@@ -464,18 +464,29 @@ def dedup_clusters(spark, sf):
     it — the canonical representative a training pipeline keeps).
 
     Spark shape: iterative label propagation — each round every node takes
-    the min label among itself and its neighbors (one broadcast-or-shuffle
-    join + min agg per round), converging in O(graph diameter) rounds.
-    This is the standard large-scale CC algorithm (hash-join based, no
-    GraphX needed); candidate graphs from LSH have tiny diameters."""
+    the min label among itself and its neighbors (one shuffle join + min
+    agg per round), converging in O(graph diameter) rounds. This is the
+    standard large-scale CC algorithm (hash-join based, no GraphX needed);
+    candidate graphs from LSH have tiny diameters.
+
+    Scale discipline: the candidate-pair DAG (shingle → minhash → band
+    join) is computed EXACTLY ONCE — ``edges`` is persisted before the
+    loop — and each round's labels are ``localCheckpoint``ed so lineage
+    stays O(1) instead of growing a plan tree per round (and the
+    convergence count reads the materialized round result, not a
+    recompute)."""
     pairs = dedup_minhash_lsh(spark, sf)
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
     )
     for _ in range(10):  # diameter bound; LSH components are tiny
         neighbor_min = (
@@ -483,22 +494,22 @@ def dedup_clusters(spark, sf):
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # one materialization per round: stepped carries old+new label so
+        # the convergence probe is a filter over the checkpointed rows
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
             )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("label") != F.col("_old")).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

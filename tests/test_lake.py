@@ -195,3 +195,107 @@ def test_corrupt_record_quarantine(spark, tmp_path):
     assert valid.count() == 2
     assert quarantined.count() == 2
     assert {r["turn_idx"] for r in valid.collect()} == {0, 1}
+
+
+# ---------------- round-2 hardening ----------------
+
+
+def test_no_driver_side_footer_reads():
+    """Finalize must stay O(1) in file count: no per-file parquet footer
+    reads (pq.read_metadata) and no per-file renames on the driver."""
+    import pathlib
+
+    import dibbs_ecr_refiner_spark.lake.table as mod
+
+    src = pathlib.Path(mod.__file__).read_text()
+    assert "read_metadata" not in src
+    assert "pyarrow" not in src
+
+
+def test_concurrent_writer_loser_cannot_clobber_winner(spark, tmp_path):
+    """Two writers race for the same snapshot_id: the loser must raise
+    SnapshotConflict AND the winner's committed data files must be intact
+    (unique per-commit dirs — no shared final file names)."""
+    from dibbs_ecr_refiner_spark.lake.table import SnapshotConflict
+
+    table = mk(spark, tmp_path, [("c1", 0, "base", 1, False, None)])
+    # Simulate a concurrent winner: commit snapshot 2 out from under a
+    # second writer that also read snapshot 1.
+    stale = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 1, "winner", 2, False, None)]), "winner")
+    winner_files = {f["path"] for f in table.current_snapshot()["files"]}
+    with pytest.raises(SnapshotConflict):
+        # Force the stale writer to target the already-claimed version by
+        # monkeypatching its view of the current snapshot to the stale one.
+        stale_snap = json.load(
+            open(os.path.join(str(tmp_path / "t"), "_manifests", "v00000001.json"))
+        )
+        stale.current_snapshot = lambda: stale_snap
+        stale.merge(_delta(spark, [("c9", 0, "loser", 3, False, None)]), "loser")
+    # every winner file still exists and is readable
+    for rel in winner_files:
+        assert os.path.exists(os.path.join(str(tmp_path / "t"), rel))
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert got == {("c1", 0): "base", ("c1", 1): "winner"}
+
+
+def test_num_buckets_comes_from_manifest(spark, tmp_path):
+    table = mk(spark, tmp_path, [("c1", 0, "x", 1, False, None)], buckets=4)
+    reopened = LakeTable(spark, str(tmp_path / "t"), num_buckets=64)
+    assert reopened.num_buckets == 4
+    # merge through the reopened handle still unions the key's existing rows
+    reopened.merge(_delta(spark, [("c1", 0, "y", 2, False, None)]), "b1")
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in reopened.read().collect()}
+    assert got == {("c1", 0): "y"}
+
+
+def test_per_bucket_watermarks_are_true_maxima(spark, tmp_path):
+    """With bucket_lsn_max supplied, cold buckets must not be advanced to
+    the batch-global lsn_max."""
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    from dibbs_ecr_refiner_spark.lake.table import bucket_expr
+
+    # pick two conv_ids that land in different buckets
+    probe = spark.createDataFrame(
+        [(f"c{i}",) for i in range(16)], "conv_id string"
+    ).withColumn("b", bucket_expr(4))
+    by_bucket: dict[int, str] = {}
+    for r in probe.collect():
+        by_bucket.setdefault(int(r["b"]), r["conv_id"])
+    (b1, cA), (b2, cB) = sorted(by_bucket.items())[:2]
+    delta = _delta(spark, [(cA, 0, "a", 10, False, None), (cB, 0, "b", 99, False, None)])
+    per = {
+        int(r["b"]): int(r["m"])
+        for r in delta.groupBy(bucket_expr(4).alias("b"))
+        .agg(F.max("change_lsn").alias("m"))
+        .collect()
+    }
+    assert len(per) == 2
+    table.merge(delta, "b0", bucket_lsn_max=per)
+    wm = {int(k): int(v) for k, v in table.current_snapshot()["watermarks"].items()}
+    assert wm == per
+
+
+def test_compaction_does_not_advance_watermarks(spark, tmp_path):
+    from dibbs_ecr_refiner_spark.lake.maintenance import compact
+
+    table = mk(spark, tmp_path, [("c1", 0, "x", 7, False, None)])
+    before = dict(table.current_snapshot()["watermarks"])
+    compact(table, buckets=list(range(4)))
+    assert dict(table.current_snapshot()["watermarks"]) == before
+
+
+def test_gc_orphans_sweeps_unreferenced_dirs(spark, tmp_path):
+    from dibbs_ecr_refiner_spark.lake.maintenance import gc_orphans
+
+    table = mk(spark, tmp_path, [("c1", 0, "x", 1, False, None)])
+    root = str(tmp_path / "t")
+    # fake a crashed writer's leftovers
+    os.makedirs(os.path.join(root, "_staging", "deadbeef"), exist_ok=True)
+    os.makedirs(os.path.join(root, "data", "cdeadbeef", "_bucket=0"), exist_ok=True)
+    open(os.path.join(root, "data", "cdeadbeef", "_bucket=0", "part-x.parquet"), "w").close()
+    res = gc_orphans(table, min_age_sec=0.0)
+    assert res["removed_dirs"] == 2
+    assert not os.path.exists(os.path.join(root, "data", "cdeadbeef"))
+    # committed data untouched
+    assert table.read().count() == 1

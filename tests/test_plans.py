@@ -86,3 +86,16 @@ def test_changelog_batch_filter_prunes_partitions(spark, tmp_path):
     # column — the predicate appears as a partition filter, not a data one)
     assert "PartitionFilters: [isnotnull(ingest_file" in plan
     assert df.count() > 0
+
+
+def test_dedup_clusters_final_plan_has_no_shingling_subtree(spark, sf_dir):
+    """The CC loop must not re-derive the MinHash-LSH DAG each round:
+    edges are persisted and labels localCheckpoint'ed, so the returned
+    frame's plan reads materialized round state, not the documents scan."""
+    from dibbs_ecr_refiner_spark.queries import text
+
+    result = text.dedup_clusters(spark, sf_dir)
+    plan = _explain(result, "extended")
+    assert "documents" not in plan
+    assert "parquet" not in plan.lower()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
