@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .lake.table import LakeTable
 from .operators import cdc
+from .operators.enrich import enrich_displays
 from .operators.refine import compile_refinement
 from .plans.config import RefinePlan
 
@@ -76,10 +77,11 @@ def prepare_delta(changes: DataFrame, plan: RefinePlan) -> DataFrame:
     exactly ONE aggregation shuffle (see ReplayEngine.apply_batch).
 
     The whole thing is one Catalyst plan: scan → hash-agg (partial+final)
-    → codegen'd projection. No Python in the hot path.
+    → codegen'd projection — plus the display-enrichment join (config map,
+    then per-conversation narrative index: operators/enrich.py).
     """
     winners = cdc.lww_resolve(normalize_changes(changes))
-    return compile_refinement(plan, guarded=True)(winners)
+    return enrich_displays(compile_refinement(plan, guarded=True)(winners), plan)
 
 
 class ReplayEngine:
@@ -116,11 +118,17 @@ class ReplayEngine:
         # and then the guarded refinement pass over the fresh winners —
         # exactly one aggregation shuffle per batch.
         delta = normalize_changes(changes)
+        refine = compile_refinement(self.plan, guarded=True)
+        plan = self.plan
         return self.table.merge(
             delta,
             batch_id,
             touched_buckets=touched,
-            post_reduce=compile_refinement(self.plan, guarded=True),
+            # refine the fresh LWW winners, then recompute display
+            # enrichment over the whole touched-bucket content so narrative
+            # turns arriving in later batches back-fill earlier displays
+            # (converging to the batch oracle's global view)
+            post_reduce=lambda d: enrich_displays(refine(d), plan),
             hot_buckets=hot,
             bucket_lsn_max=bucket_lsn_max,
         )

@@ -48,6 +48,7 @@ class ChangeLogParams:
     schema_evolution_frac: float = 0.7  # extra['metadata'] appears past this
     n_batches: int = 8
     files_per_batch: int = 16       # a real WAL tail delivers many files
+    with_items: bool = False        # emit the optional sub-items column (P4)
     seed: int = 42
 
 
@@ -129,6 +130,27 @@ def generate_changes(spark: SparkSession, params: ChangeLogParams | None = None)
     ingest_file = F.format_string("batch-%05d", (F.col("e") / batch_size).cast("int"))
 
     is_delete = op == "delete"
+
+    # Optional sub-items (container components of a turn, P4): 0-3 structs
+    # with a coded identity drawn from VOCAB ∪ non-keep junk, ~1/4 flagged
+    # as shared context (guard-exempt, ≙ specimen-collection case).
+    items_cols: list = []
+    if p.with_items:
+        item_vocab = VOCAB + ["junk1", "junk2", "junk3", "junk4"]
+        iv_arr = F.array(*[F.lit(w) for w in item_vocab])
+        n_items = F.pmod(F.xxhash64(F.col("e"), F.lit(s + 20)), F.lit(4)).cast("int")
+        idxs = F.sequence(F.lit(1), n_items)
+        mk_item = lambda i: F.struct(  # noqa: E731
+            F.element_at(
+                iv_arr,
+                (F.pmod(F.xxhash64(F.col("e"), i, F.lit(s + 21)), F.lit(len(item_vocab))) + 1).cast("int"),
+            ).alias("code"),
+            F.concat(F.lit("item of rev "), F.col("e").cast("string")).alias("text"),
+            (F.pmod(F.xxhash64(F.col("e"), i, F.lit(s + 22)), F.lit(4)) == 0).alias("is_context"),
+        )
+        items = F.transform(idxs, mk_item)
+        items_cols = [F.when(is_delete, F.lit(None)).otherwise(items).alias("items")]
+
     out = df.select(
         F.concat(F.lit("conv-"), conv_idx.cast("string")).alias("conv_id"),
         turn_idx.alias("turn_idx"),
@@ -140,6 +162,7 @@ def generate_changes(spark: SparkSession, params: ChangeLogParams | None = None)
         F.col("e").alias("change_lsn"),
         ingest_file.alias("ingest_file"),
         extra.alias("extra"),
+        *items_cols,
     )
 
     # Exact duplicate deliveries: re-emit a deterministic sample unchanged

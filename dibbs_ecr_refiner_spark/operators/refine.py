@@ -23,6 +23,9 @@ Output contract (columns added to the input):
                        no_config   (≙ SectionOutcome, ecr/model.py:356-472)
 - ``_matched_code``, ``_matched_display``, ``_tier`` — provenance
   (≙ SectionProvenanceRecord, ecr/model.py:475-528)
+- ``items``            when present (optional array<struct> of sub-items),
+                       pruned within matched turns (container-level pruning,
+                       ≙ entry_matching.py:466-551) — see ITEM_SCHEMA
 """
 
 from __future__ import annotations
@@ -41,6 +44,13 @@ OUTCOMES = (
     "removed_no_match",
     "no_config",
 )
+
+# Optional sub-item column for container-level pruning (P4). A turn may
+# carry components the way a matched entry carries organizer components
+# (reference entry_matching.py:466-551): ``code`` is the component's coded
+# identity, ``is_context`` marks shared context exempted by the guard xpath
+# (the specimen-collection case, :535).
+ITEM_SCHEMA = "array<struct<code:string,text:string,is_context:boolean>>"
 
 
 import re as _re
@@ -133,21 +143,49 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
         if k.display is not None:
             display_by_code.setdefault(k.code, k.display)
 
-    # Per-role matched code + tier (ordered rules, first match claims —
-    # a nested CASE WHEN is exactly "break on first candidate-bearing rule").
+    # Per-role matched code + tier + preserve flag (ordered rules, first
+    # match claims — a nested CASE WHEN is exactly "break on first
+    # candidate-bearing rule"). preserve_whole rides along with the winning
+    # rule (≙ EntryMatchRule preserve semantics: a rule may exempt its
+    # matched entry's sub-items from container pruning).
     matched_code: Column = F.lit(None).cast("string")
     matched_tier: Column = F.lit(None).cast("int")
+    matched_preserve: Column = F.lit(False)
     for role, instr in sorted(plan.instructions.items()):
         if not instr.include or instr.action != "refine":
             continue
         role_code: Column = F.lit(None).cast("string")
         role_tier: Column = F.lit(None).cast("int")
+        role_preserve: Column = F.lit(False)
         for rule in reversed(plan.rules_for(role)):
             m = _rule_match(plan, rule)
             role_code = F.when(m.isNotNull(), m).otherwise(role_code)
             role_tier = F.when(m.isNotNull(), F.lit(rule.tier)).otherwise(role_tier)
+            role_preserve = F.when(m.isNotNull(), F.lit(rule.preserve_whole)).otherwise(role_preserve)
         matched_code = F.when(F.col("role") == role, role_code).otherwise(matched_code)
         matched_tier = F.when(F.col("role") == role, role_tier).otherwise(matched_tier)
+        matched_preserve = F.when(F.col("role") == role, role_preserve).otherwise(matched_preserve)
+
+    def _pruned_items() -> Column:
+        """Container-level pruning within a MATCHED turn (P4, ≙
+        entry_matching.py:466-551): drop sub-items that neither match the
+        keep set nor carry the context guard. Invariants mirrored from the
+        reference: the matched turn itself is never deleted by item pruning
+        (:543-551 — we only rewrite ``items``, never ``_keep``), the guard
+        exempts shared context (:535), and a winning rule with
+        preserve_whole keeps the container intact. The array filter's
+        lambda is interpreted per element, but items arrays are small
+        (components of one turn) and only matched turns pay it — this is
+        not the hot text-match path."""
+        codes = sorted(plan.codes_for(None))
+        if codes:
+            keep_item = lambda x: x["is_context"] | x["code"].isin(codes)  # noqa: E731
+        else:
+            keep_item = lambda x: x["is_context"]  # noqa: E731
+        hit = F.col("_matched_code").isNotNull()
+        return F.when(
+            hit & ~matched_preserve, F.filter(F.col("items"), keep_item)
+        ).otherwise(F.col("items"))
 
     if display_by_code:
         pairs = [x for c, d in sorted(display_by_code.items()) for x in (F.lit(c), F.lit(d))]
@@ -197,12 +235,15 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
         if not guarded:
             out = df.withColumn("_matched_code", matched_code).withColumn("_tier", matched_tier)
             keep, outcome, text = _branches()
-            return (
+            out = (
                 out.withColumn("_keep", keep)
                 .withColumn("_outcome", outcome)
                 .withColumn("text", text)
                 .withColumn("_matched_display", matched_display)
             )
+            if "items" in df.columns:
+                out = out.withColumn("items", _pruned_items())
+            return out
 
         # guarded: refine only fresh (unrefined) rows; CASE branches are
         # evaluated lazily, so refined rows pay ~nothing.
@@ -211,7 +252,7 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
             "_matched_code", F.when(unref, matched_code).otherwise(F.col("_matched_code"))
         ).withColumn("_tier", F.when(unref, matched_tier).otherwise(F.col("_tier")))
         keep, outcome, text = _branches()
-        return (
+        out = (
             out.withColumn(
                 "_deleted", F.when(unref, F.col("_deleted") | ~keep).otherwise(F.col("_deleted"))
             )
@@ -220,9 +261,13 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
                 "_matched_display",
                 F.when(unref, matched_display).otherwise(F.col("_matched_display")),
             )
-            # _outcome LAST: the guards above read it
-            .withColumn("_outcome", F.when(unref, outcome).otherwise(F.col("_outcome")))
         )
+        if "items" in df.columns:
+            out = out.withColumn(
+                "items", F.when(unref, _pruned_items()).otherwise(F.col("items"))
+            )
+        # _outcome LAST: the guards above read it
+        return out.withColumn("_outcome", F.when(unref, outcome).otherwise(F.col("_outcome")))
 
     return apply
 

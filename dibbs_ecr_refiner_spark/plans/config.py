@@ -151,6 +151,10 @@ def default_plan() -> RefinePlan:
         KeepCode("token", "alert", "Alert"),
         KeepCode("token", "error", "Error"),
         KeepCode("token", "condition", "Condition"),
+        # no config display — resolved through the per-conversation
+        # narrative index instead (operators/enrich.py, ≙ the reference's
+        # originalText/reference fallback)
+        KeepCode("token", "followup", None),
     ]
     rules = [
         MatchRule("tool", 0, target="tool", system="tool", fallback_target="text", tier=1),

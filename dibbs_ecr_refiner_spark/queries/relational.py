@@ -267,6 +267,90 @@ def enrich_left_join(spark, sf):
 
 
 @q(
+    "prune_nested_items",
+    """
+    WITH m AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS has_match
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN m ON l.l_orderkey = m.l_orderkey
+    WHERE m.has_match = 0 OR l.l_quantity > 45 OR l.l_returnflag = 'R'
+    """,
+)
+def prune_nested_items(spark, sf):
+    """P4 container-level pruning as an ARRAY operator: pack each order's
+    lines into array<struct>, prune sub-items lacking a match unless the
+    guard exempts them (l_returnflag='R' ≙ shared-context guard,
+    entry_matching.py:535), and never prune inside a container with no
+    match at all (≙ the never-delete-a-matched-entry invariant :543-551 —
+    containers without matches pass through whole). Engine analog:
+    operators/refine.py _pruned_items."""
+    li = _t(spark, sf, "lineitem")
+    packed = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "l_quantity", "l_returnflag")
+        ).alias("items")
+    )
+    has_match = F.exists("items", lambda x: x["l_quantity"] > 45)
+    pruned = F.when(
+        has_match,
+        F.filter("items", lambda x: (x["l_quantity"] > 45) | (x["l_returnflag"] == "R")),
+    ).otherwise(F.col("items"))
+    return (
+        packed.select("l_orderkey", F.explode(pruned).alias("it"))
+        .select("l_orderkey", F.col("it.l_linenumber").alias("l_linenumber"))
+    )
+
+
+@q(
+    "enrich_narrative_fallback",
+    """
+    WITH idx AS (
+      SELECT user_id, event_type, substring(props, 1, 40) AS narr
+      FROM (SELECT user_id, event_type, props,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+      WHERE rn = 1)
+    SELECT e.event_id, e.event_type,
+           COALESCE(CASE e.event_type WHEN 'click' THEN 'Click Event'
+                                      WHEN 'view' THEN 'View Event' END,
+                    idx.narr) AS display
+    FROM events e
+    LEFT JOIN idx ON e.user_id = idx.user_id AND e.event_type = idx.event_type
+    """,
+)
+def enrich_narrative_fallback(spark, sf):
+    """J4's SECOND source: a derived per-conversation narrative index fills
+    displays the config map lacks (≙ narrative-ID index resolved via
+    originalText/reference, section/utils.py:151-217; engine analog
+    operators/enrich.py). The config map covers only some codes; the rest
+    resolve to the earliest same-group narrative snippet."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    idx = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.substring("props", 1, 40).alias("narr"))
+    )
+    cfg = F.create_map(
+        F.lit("click"), F.lit("Click Event"), F.lit("view"), F.lit("View Event")
+    )
+    return (
+        e.alias("L")
+        .join(idx.alias("R"), ["user_id", "event_type"], "left")
+        .select(
+            F.col("L.event_id").alias("event_id"),
+            F.col("L.event_type").alias("event_type"),
+            F.coalesce(
+                F.element_at(cfg, F.col("L.event_type")), F.col("R.narr")
+            ).alias("display"),
+        )
+    )
+
+
+@q(
     "remainder_anti_join",
     """
     SELECT DISTINCT o_custkey FROM orders

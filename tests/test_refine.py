@@ -152,3 +152,86 @@ def test_config_schema_gate():
 def test_plan_rejects_bad_rule_target():
     with pytest.raises(ValueError):
         _plan(rules=[MatchRule("assistant", 0, target="xpath")])
+
+
+# ---------------- container-level pruning (P4) ----------------
+
+
+def _turns_with_items(spark, rows):
+    """rows: (conv, idx, role, text, tool, items) where items is a list of
+    (code, text, is_context) tuples or None."""
+    return spark.createDataFrame(
+        [(c, i, r, x, t, TS, 1, items) for (c, i, r, x, t, items) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, change_lsn long, "
+        "items array<struct<code:string,text:string,is_context:boolean>>",
+    )
+
+
+def _items_of(df):
+    return {
+        (r["conv_id"], r["turn_idx"]): (
+            None if r["items"] is None else [it["code"] for it in r["items"]]
+        )
+        for r in df.collect()
+    }
+
+
+def test_matched_turn_items_pruned_guard_exempts_context(spark):
+    """Within a MATCHED turn, sub-items lacking a keep code are dropped —
+    except context-guarded ones (≙ entry_matching.py:466-551, guard :535)."""
+    df = _turns_with_items(
+        spark,
+        [
+            ("c", 0, "assistant", "has fever today", None,
+             [("fever", "a", False), ("junk", "b", False), ("junk", "c", True)]),
+        ],
+    )
+    out = compile_refinement(_plan())(df)
+    assert _items_of(out) == {("c", 0): ["fever", "junk"]}  # junk kept via guard
+
+
+def test_unmatched_turn_items_untouched(spark):
+    """Container pruning applies only inside matched turns: an unmatched
+    (removed or retained) turn's items pass through unchanged."""
+    df = _turns_with_items(
+        spark,
+        [
+            ("c", 0, "user", "retained narrative", None, [("junk", "a", False)]),
+            ("c", 1, "assistant", "no match here", None, [("junk", "b", False)]),
+        ],
+    )
+    out = compile_refinement(_plan())(df)
+    assert _items_of(out) == {("c", 0): ["junk"], ("c", 1): ["junk"]}
+
+
+def test_matched_turn_never_deleted_by_item_pruning(spark):
+    """The empty-entry invariant (≙ :543-551): pruning may empty a matched
+    turn's items, but the turn itself survives (_keep stays true)."""
+    df = _turns_with_items(
+        spark,
+        [("c", 0, "assistant", "fever", None, [("junk", "a", False)])],
+    )
+    out = compile_refinement(_plan())(df)
+    row = out.collect()[0]
+    assert row["_keep"] is True and row["_matched_code"] == "fever"
+    assert [it["code"] for it in row["items"]] == []
+
+
+def test_preserve_whole_rule_keeps_container_intact(spark):
+    """A winning rule with preserve_whole exempts the matched turn from
+    container pruning (MatchRule.preserve_whole wired end-to-end)."""
+    plan = _plan(
+        rules=[
+            MatchRule("assistant", 0, target="text", system="token",
+                      preserve_whole=True, tier=1),
+            MatchRule("tool", 0, target="tool", system="tool", tier=1),
+        ]
+    )
+    df = _turns_with_items(
+        spark,
+        [("c", 0, "assistant", "fever", None,
+          [("junk", "a", False), ("junk", "b", False)])],
+    )
+    out = compile_refinement(plan)(df)
+    assert _items_of(out) == {("c", 0): ["junk", "junk"]}

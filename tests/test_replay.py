@@ -121,3 +121,94 @@ def test_prepare_delta_refines(spark, changes):
     assert "refined_kept" in outcomes
     # every (conv_id, turn_idx) appears exactly once post-LWW
     assert delta.groupBy("conv_id", "turn_idx").count().where("count > 1").isEmpty()
+
+
+def test_narrative_display_fallback_matches_oracle_and_backfills(spark, tmp_path, changes):
+    """J4 second source: displays come from config codings first, then the
+    per-conversation narrative index — and incremental replay converges to
+    the batch oracle's displays even when the narrative turn arrives in a
+    LATER batch than the refined row it back-fills."""
+    table, eng = _fresh(spark, tmp_path)
+    eng.replay(changes)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["_matched_display"]
+        for r in table.read().select("conv_id", "turn_idx", "_matched_display").collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["_matched_display"]
+        for r in batch_oracle(changes, eng.plan)
+        .select("conv_id", "turn_idx", "_matched_display")
+        .collect()
+    }
+    assert got == want
+    # the fallback actually fires: 'followup' has no config display, so any
+    # display it carries must be a narrative snippet (generator text shape)
+    fallback = [
+        r["_matched_display"]
+        for r in table.read()
+        .where(F.col("_matched_code") == "followup")
+        .select("_matched_display")
+        .collect()
+        if r["_matched_display"] is not None
+    ]
+    assert fallback, "expected at least one narrative-resolved display"
+    assert all(d.startswith("turn ") for d in fallback)
+    # and config displays still win where present
+    cfg = (
+        table.read()
+        .where(F.col("_matched_code") == "fever")
+        .select("_matched_display")
+        .distinct()
+        .collect()
+    )
+    assert {r["_matched_display"] for r in cfg} <= {"Fever"}
+
+
+def test_items_prune_through_replay_matches_oracle(spark, tmp_path):
+    """P4 end-to-end: the optional sub-items column flows through LWW +
+    guarded refinement + MERGE, pruned identically to the batch oracle."""
+    params = ChangeLogParams(
+        n_conversations=20, turns_per_conv=6, n_events=1200, n_batches=3,
+        with_items=True,
+    )
+    ch = generate_changes(spark, params)
+    table = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
+    eng = ReplayEngine(spark, table, default_plan())
+    eng.replay(ch)
+
+    def items_map(df):
+        return {
+            (r["conv_id"], r["turn_idx"]): (
+                None if r["items"] is None
+                else [(it["code"], it["is_context"]) for it in r["items"]]
+            )
+            for r in df.select("conv_id", "turn_idx", "items").collect()
+        }
+
+    got = items_map(table.read())
+    want = items_map(batch_oracle(ch, eng.plan))
+    assert got == want
+    # pruning actually removed something somewhere
+    flat_junk = [
+        c for v in got.values() if v for (c, is_ctx) in v
+        if c.startswith("junk") and not is_ctx
+    ]
+    all_rows = spark.createDataFrame(
+        [(k[0], k[1]) for k in got], "conv_id string, turn_idx int"
+    )
+    assert all_rows.count() == len(got)
+    matched_with_items = (
+        table.read()
+        .where(F.col("_matched_code").isNotNull() & F.col("items").isNotNull())
+        .count()
+    )
+    assert matched_with_items > 0
+    # no matched row retains a non-context junk item
+    bad = (
+        table.read()
+        .where(F.col("_matched_code").isNotNull())
+        .select(F.explode("items").alias("it"))
+        .where(F.col("it.code").startswith("junk") & ~F.col("it.is_context"))
+        .count()
+    )
+    assert bad == 0
