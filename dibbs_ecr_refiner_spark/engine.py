@@ -56,13 +56,20 @@ class ReplayStats:
 def normalize_changes(changes: DataFrame) -> DataFrame:
     """Raw change-log rows → target-schema rows: delete ops become
     tombstone candidates, refinement/provenance columns are NULL (meaning
-    'not yet refined'). Pure projection, no shuffle."""
+    'not yet refined'). Pure projection, no shuffle.
+
+    ``op`` and ``ingest_file`` are log-transport columns, not table state
+    (op is folded into ``_deleted``; the batch id lives in the lineage
+    manifest) — dropping them here cuts bytes/row through the LWW shuffle,
+    the parquet write, AND every later touched-bucket re-read."""
     return (
         changes.withColumn("_deleted", F.col("op") == "delete")
         .withColumn("_outcome", F.lit(None).cast("string"))
         .withColumn("_matched_code", F.lit(None).cast("string"))
         .withColumn("_matched_display", F.lit(None).cast("string"))
         .withColumn("_tier", F.lit(None).cast("int"))
+        .withColumn("_provenance", F.lit(None).cast("string"))
+        .drop("op", "ingest_file")
     )
 
 

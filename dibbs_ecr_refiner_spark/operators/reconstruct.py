@@ -2,18 +2,29 @@
 pandas UDF (SURVEY §2.4 A5).
 
 The reference rebuilds a section's human-readable <text> narrative from the
-entries that survived refinement, via a registry of per-section
-reconstructors (refiner/app/services/ecr/narrative/reconstruction.py:
-1341-1400, renderers :767-1276). The transcript analog: per conversation,
-build one deterministic summary turn from the surviving turns, with a
-registry of per-role renderers contributing lines.
+entries that survived refinement via a registry of per-section
+reconstructors that EXTRACT FIELDS from surviving entries and render tables
+(refiner/app/services/ecr/narrative/reconstruction.py: registry :1341-1347,
+field extraction :520, renderers :767,1019,1086,1174,1192,1276), then append
+a provenance footnote (narrative/footnote.py:40-160). The transcript analog:
+per conversation, a registry of per-role renderers each extracting fields
+from that role's surviving turns (timeline snippets, reconstruction counts,
+per-tool call tables, last-notice extraction) and rendering one line of the
+synthesized summary turn; a footnote line renders the refinement provenance
+when outcome columns are present.
 
 Spark shape: groupBy(conv_id).applyInPandas — N rows in, M rows out
 (the surviving turns plus one synthesized turn_idx=-1 summary row). This is
 the one place grouped Python belongs: the computation is genuinely
 per-group sequential text assembly. Group size is one conversation
 (bounded), so skew is bounded by the longest conversation, not by event
-count."""
+count.
+
+Determinism contract (pinned by the DuckDB oracles in queries/temporal.py):
+every extracted field is a pure function of the surviving rows — snippets
+are fixed-width prefixes, orderings are by turn_idx / tool name, counts are
+exact. The same renderings are reproducible in ANSI SQL.
+"""
 
 from __future__ import annotations
 
@@ -21,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 SUMMARY_TURN_IDX = -1
+SNIPPET = 24
 
 OUT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -28,31 +40,70 @@ OUT_SCHEMA = (
 )
 
 
+def _snip(v) -> str:
+    return ("" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))[:SNIPPET]
+
+
 def _render_user(rows: pd.DataFrame) -> str:
-    return f"user_turns={len(rows)}"
+    """Timeline table: one cell per surviving user turn, document order
+    (≙ the per-entry field-extraction tables, reconstruction.py:520-767)."""
+    rows = rows.sort_values("turn_idx")
+    body = " / ".join(
+        f"{int(r.turn_idx)}:{_snip(r.text)}" for r in rows.itertuples()
+    )
+    return f"USER[n={len(rows)}] {body}"
 
 
 def _render_assistant(rows: pd.DataFrame) -> str:
-    kept = int((rows["text"].fillna("").str.startswith("[reconstructed")).sum())
-    return f"assistant_turns={len(rows)} reconstructed={kept}"
+    """Reconstruction accounting + latest utterance extraction."""
+    texts = rows["text"].fillna("")
+    rec = int(texts.str.startswith("[reconstructed").sum())
+    last = _snip(rows.loc[rows["turn_idx"].idxmax(), "text"])
+    return f"ASSISTANT[n={len(rows)} reconstructed={rec}] last={last}"
 
 
 def _render_tool(rows: pd.DataFrame) -> str:
-    tools = sorted(rows["tool"].dropna().unique())
-    return f"tool_turns={len(rows)} tools={','.join(tools)}"
+    """Tool-call table: per tool, call count + first/last turn — the
+    tool-call-args analog of the reference's medication/results tables."""
+    g = rows.assign(tool=rows["tool"].fillna("none")).groupby("tool")["turn_idx"]
+    cells = [
+        f"{tool}:n={len(idxs)},first={int(idxs.min())},last={int(idxs.max())}"
+        for tool, idxs in sorted(g)
+    ]
+    return f"TOOL[n={len(rows)}] " + " / ".join(cells)
 
 
-# registry keyed by role (≙ SECTION_RECONSTRUCTORS keyed by LOINC,
-# reconstruction.py:1341-1347); unlisted roles get a generic line
-RECONSTRUCTORS = {
-    "user": _render_user,
-    "assistant": _render_assistant,
-    "tool": _render_tool,
-}
+def _render_system(rows: pd.DataFrame) -> str:
+    """Notice extraction: count + the most recent notice text."""
+    last = _snip(rows.loc[rows["turn_idx"].idxmax(), "text"])
+    return f"SYSTEM[n={len(rows)}] last={last}"
 
 
 def _generic(role: str, rows: pd.DataFrame) -> str:
     return f"{role}_turns={len(rows)}"
+
+
+# registry keyed by role (≙ SECTION_RECONSTRUCTORS keyed by LOINC,
+# reconstruction.py:1341-1347); unlisted roles get the generic renderer —
+# five renderers total, each extracting different fields
+RECONSTRUCTORS = {
+    "user": _render_user,
+    "assistant": _render_assistant,
+    "tool": _render_tool,
+    "system": _render_system,
+}
+
+
+def _footnote(pdf: pd.DataFrame) -> str | None:
+    """Provenance footnote (≙ narrative/footnote.py:40-160 + the per-entry
+    provenance comments of section/utils.py:225-324): outcome accounting
+    over the surviving turns, rendered only when the input carries
+    refinement provenance columns."""
+    if "_outcome" not in pdf.columns:
+        return None
+    counts = pdf["_outcome"].dropna().value_counts()
+    cells = ",".join(f"{k}={int(counts[k])}" for k in sorted(counts.index))
+    return f"footnote: outcomes {cells}" if cells else "footnote: outcomes none"
 
 
 def reconstruct_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -63,6 +114,9 @@ def reconstruct_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = pdf[pdf["role"] == role]
         fn = RECONSTRUCTORS.get(role)
         lines.append(fn(rows) if fn else _generic(role, rows))
+    fn_line = _footnote(pdf)
+    if fn_line is not None:
+        lines.append(fn_line)
     summary = pd.DataFrame(
         {
             "conv_id": [pdf["conv_id"].iloc[0]],
@@ -77,10 +131,15 @@ def reconstruct_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([summary[cols], pdf[cols]], ignore_index=True)
 
 
-def reconstruct(transcripts: DataFrame) -> DataFrame:
-    """groupBy(conv_id).applyInPandas over the clean transcript view."""
+def reconstruct(transcripts: DataFrame, with_provenance: bool = False) -> DataFrame:
+    """groupBy(conv_id).applyInPandas over the clean transcript view.
+    with_provenance=True also feeds ``_outcome`` to the footnote renderer
+    (input must carry it, e.g. LakeTable.read())."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    if with_provenance:
+        cols.append("_outcome")
     return (
-        transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        transcripts.select(*cols)
         .groupBy("conv_id")
         .applyInPandas(lambda pdf: reconstruct_conversation(pdf), OUT_SCHEMA)
     )

@@ -194,6 +194,20 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
     else:
         matched_display = F.lit(None).cast("string")
 
+    # Per-turn provenance comment (≙ the per-entry provenance comments the
+    # reference renders into the document, section/utils.py:225-324): a
+    # human-facing string, not just provenance columns. The conversation-
+    # level footnote lives in operators/reconstruct.py.
+    provenance = F.when(
+        F.col("_matched_code").isNotNull(),
+        F.format_string(
+            "refined: matched %s tier %s by cfg-v%d",
+            F.col("_matched_code"),
+            F.coalesce(F.col("_tier").cast("string"), F.lit("?")),
+            F.lit(plan.config_version),
+        ),
+    )
+
     def _branches():
         """(keep, outcome, text) via the 4-way per-role branch."""
         keep: Column = F.lit(True)
@@ -240,6 +254,7 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
                 .withColumn("_outcome", outcome)
                 .withColumn("text", text)
                 .withColumn("_matched_display", matched_display)
+                .withColumn("_provenance", provenance)
             )
             if "items" in df.columns:
                 out = out.withColumn("items", _pruned_items())
@@ -260,6 +275,9 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
             .withColumn(
                 "_matched_display",
                 F.when(unref, matched_display).otherwise(F.col("_matched_display")),
+            )
+            .withColumn(
+                "_provenance", F.when(unref, provenance).otherwise(F.col("_provenance"))
             )
         )
         if "items" in df.columns:

@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 
 from ..plans.config import RefinePlan
 
-OUT_COLS = ["_matched_code", "_tier", "_keep", "_outcome", "text", "_matched_display"]
+OUT_COLS = [
+    "_matched_code", "_tier", "_keep", "_outcome", "text", "_matched_display",
+    "_provenance",
+]
 
 
 def _match_series(plan: RefinePlan, pdf: pd.DataFrame, target: str, system: str | None) -> pd.Series:
@@ -106,6 +109,11 @@ def refine_batch(plan: RefinePlan, pdf: pd.DataFrame) -> pd.DataFrame:
     out["_outcome"] = outcome
     out["text"] = text
     out["_matched_display"] = matched.map(display_by_code)
+    out["_provenance"] = (
+        "refined: matched " + matched.astype(str)
+        + " tier " + tier.astype(str)
+        + f" by cfg-v{plan.config_version}"
+    ).where(hit, None)
     return out
 
 
@@ -115,11 +123,12 @@ def apply_refinement_udf(df: DataFrame, plan: RefinePlan) -> DataFrame:
     schema = ", ".join(
         schema_parts
         + ["_matched_code string", "_tier int", "_keep boolean", "_outcome string",
-           "_matched_display string"]
+           "_matched_display string", "_provenance string"]
     )
 
     ordered = [f.name for f in df.schema.fields] + [
-        "_matched_code", "_tier", "_keep", "_outcome", "_matched_display"
+        "_matched_code", "_tier", "_keep", "_outcome", "_matched_display",
+        "_provenance",
     ]
 
     def run(batches):

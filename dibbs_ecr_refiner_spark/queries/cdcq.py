@@ -228,3 +228,39 @@ def percentiles(spark, sf):
             F.percentile("value", F.lit(0.95)).alias("p95"),
         )
     )
+
+
+@q(
+    "config_events",
+    """
+    SELECT e.user_id,
+           ROW_NUMBER() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS version,
+           e.event_type
+    FROM events e
+    WHERE e.user_id IN (
+      SELECT user_id FROM (
+        SELECT user_id FROM events GROUP BY user_id
+        ORDER BY COUNT(*) DESC, user_id LIMIT 5))
+    """,
+)
+def config_events(spark, sf):
+    """S9 audit-log lineage: the ordered mutation history of the busiest
+    entities, each mutation stamped with its monotone version — the query
+    shape the config store's append-only ``_events.jsonl`` supports (≙ the
+    reference's events table, app/db/events/model.py:12-27, described by
+    its own docs as "a literal change log"). Engine surface:
+    sources/config_store.ConfigStore.events()."""
+    e = _events(spark, sf)
+    busiest = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(5)
+        .select("user_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.join(F.broadcast(busiest), "user_id", "leftsemi")
+        .select("user_id", F.row_number().over(w).alias("version"), "event_type")
+    )

@@ -102,39 +102,165 @@ def range_join_bucketed(spark, sf):
     ).select("a", "b")
 
 
-def _role_line_sql() -> str:
-    # mirrors operators/reconstruct.py's generic renderer for roles without
-    # a registered reconstructor
-    return """
+# ------------------------------------------------------- reconstruction
+# Events reshaped as transcript turns (user_id ≙ conversation, event types
+# mapped onto transcript roles) so every renderer in the reconstructor
+# registry (operators/reconstruct.py, ≙ SECTION_RECONSTRUCTORS) is
+# exercised and oracle-checked: the SQL re-derives each renderer's exact
+# field extraction + formatting.
+
+_T_SQL = """
     SELECT CAST(user_id AS VARCHAR) AS conv_id,
-           string_agg(line, '; ' ORDER BY role) AS summary
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+           CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
+                WHEN 'error' THEN 'tool' WHEN 'purchase' THEN 'system'
+                ELSE event_type END AS role,
+           props AS text,
+           CASE WHEN event_type = 'error'
+                THEN 't' || CAST(CAST(FLOOR(value) AS BIGINT) % 3 AS VARCHAR) END AS tool,
+           ts
+    FROM events
+"""
+
+# per-role renderer lines, in SQL (must match operators/reconstruct.py
+# byte-for-byte)
+_USER_LINE_SQL = f"""
+    SELECT conv_id,
+           'USER[n=' || COUNT(*) || '] ' ||
+           string_agg(turn_idx || ':' || substring(coalesce(text, ''), 1, 24),
+                      ' / ' ORDER BY turn_idx) AS line
+    FROM ({_T_SQL}) WHERE role = 'user' GROUP BY conv_id
+"""
+_ASSISTANT_LINE_SQL = f"""
+    SELECT conv_id,
+           'ASSISTANT[n=' || COUNT(*) || ' reconstructed=' ||
+           SUM(CASE WHEN text LIKE '[reconstructed%' THEN 1 ELSE 0 END) ||
+           '] last=' || arg_max(substring(coalesce(text, ''), 1, 24), turn_idx) AS line
+    FROM ({_T_SQL}) WHERE role = 'assistant' GROUP BY conv_id
+"""
+_TOOL_LINE_SQL = f"""
+    SELECT conv_id, 'TOOL[n=' || SUM(n) || '] ' ||
+           string_agg(cell, ' / ' ORDER BY tool) AS line
     FROM (
-      SELECT user_id, event_type AS role,
-             event_type || '_turns=' || COUNT(*) AS line
-      FROM events GROUP BY user_id, event_type)
-    GROUP BY user_id
-    """
+      SELECT conv_id, coalesce(tool, 'none') AS tool, COUNT(*) AS n,
+             coalesce(tool, 'none') || ':n=' || COUNT(*) ||
+             ',first=' || MIN(turn_idx) || ',last=' || MAX(turn_idx) AS cell
+      FROM ({_T_SQL}) WHERE role = 'tool'
+      GROUP BY conv_id, coalesce(tool, 'none'))
+    GROUP BY conv_id
+"""
+_SYSTEM_LINE_SQL = f"""
+    SELECT conv_id,
+           'SYSTEM[n=' || COUNT(*) || '] last=' ||
+           arg_max(substring(coalesce(text, ''), 1, 24), turn_idx) AS line
+    FROM ({_T_SQL}) WHERE role = 'system' GROUP BY conv_id
+"""
+_GENERIC_LINE_SQL = f"""
+    SELECT conv_id, role, role || '_turns=' || COUNT(*) AS line
+    FROM ({_T_SQL}) WHERE role NOT IN ('user', 'assistant', 'tool', 'system')
+    GROUP BY conv_id, role
+"""
 
 
-@q("reconstruct_summary", _role_line_sql())
-def reconstruct_summary(spark, sf):
-    """The flagship grouped-map pandas UDF (A5) against driver data: events
-    reshaped as transcript turns (user ≙ conversation, event_type ≙ role),
-    reconstructed per conversation, summary rows compared to a SQL oracle
-    that re-derives the registry's generic renderer."""
-    from ..operators.reconstruct import SUMMARY_TURN_IDX, reconstruct
-
+def _transcripts(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    transcripts = ev.select(
+    et = F.col("event_type")
+    role = (
+        F.when(et == "click", "user")
+        .when(et == "view", "assistant")
+        .when(et == "error", "tool")
+        .when(et == "purchase", "system")
+        .otherwise(et)
+    )
+    tool = F.when(
+        et == "error",
+        F.concat(F.lit("t"), (F.floor("value").cast("long") % 3).cast("string")),
+    )
+    return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
         (F.row_number().over(w) - 1).alias("turn_idx"),
-        F.col("event_type").alias("role"),
+        role.alias("role"),
         F.col("props").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
+        tool.alias("tool"),
         F.col("ts"),
     )
+
+
+def _summary_of(transcripts: DataFrame) -> DataFrame:
+    from ..operators.reconstruct import SUMMARY_TURN_IDX, reconstruct
+
     out = reconstruct(transcripts)
     return out.where(F.col("turn_idx") == SUMMARY_TURN_IDX).select(
         "conv_id", F.col("text").alias("summary")
     )
+
+
+@q(
+    "reconstruct_summary",
+    f"""
+    WITH lines AS (
+      SELECT conv_id, 'user' AS role, line FROM ({_USER_LINE_SQL})
+      UNION ALL SELECT conv_id, 'assistant', line FROM ({_ASSISTANT_LINE_SQL})
+      UNION ALL SELECT conv_id, 'tool', line FROM ({_TOOL_LINE_SQL})
+      UNION ALL SELECT conv_id, 'system', line FROM ({_SYSTEM_LINE_SQL})
+      UNION ALL SELECT conv_id, role, line FROM ({_GENERIC_LINE_SQL}))
+    SELECT conv_id, string_agg(line, '; ' ORDER BY role) AS summary
+    FROM lines GROUP BY conv_id
+    """,
+)
+def reconstruct_summary(spark, sf):
+    """The flagship grouped-map pandas UDF (A5): all five registry
+    renderers composing one summary turn per conversation, compared to a
+    SQL oracle that re-derives every renderer's field extraction."""
+    return _summary_of(_transcripts(spark, sf))
+
+
+def _one_renderer_query(role: str):
+    def query(spark, sf):
+        t = _transcripts(spark, sf).where(F.col("role") == role)
+        return _summary_of(t)
+
+    return query
+
+
+@q("reconstruct_user_timeline", f"SELECT conv_id, line AS summary FROM ({_USER_LINE_SQL})")
+def reconstruct_user_timeline(spark, sf):
+    """A5 renderer 1/5 in isolation: per-turn timeline table (turn_idx +
+    fixed-width snippet, document order) ≙ reconstruction.py:520-767."""
+    return _one_renderer_query("user")(spark, sf)
+
+
+@q("reconstruct_assistant_findings", f"SELECT conv_id, line AS summary FROM ({_ASSISTANT_LINE_SQL})")
+def reconstruct_assistant_findings(spark, sf):
+    """A5 renderer 2/5: reconstruction accounting + latest-utterance
+    extraction."""
+    return _one_renderer_query("assistant")(spark, sf)
+
+
+@q("reconstruct_tool_calls", f"SELECT conv_id, line AS summary FROM ({_TOOL_LINE_SQL})")
+def reconstruct_tool_calls(spark, sf):
+    """A5 renderer 3/5: per-tool call table (count, first/last turn) — the
+    tool-call-args analog of the reference's medication table."""
+    return _one_renderer_query("tool")(spark, sf)
+
+
+@q("reconstruct_system_notices", f"SELECT conv_id, line AS summary FROM ({_SYSTEM_LINE_SQL})")
+def reconstruct_system_notices(spark, sf):
+    """A5 renderer 4/5: notice count + most-recent-notice extraction."""
+    return _one_renderer_query("system")(spark, sf)
+
+
+@q(
+    "reconstruct_generic",
+    f"""
+    SELECT conv_id, string_agg(line, '; ' ORDER BY role) AS summary
+    FROM ({_GENERIC_LINE_SQL}) GROUP BY conv_id
+    """,
+)
+def reconstruct_generic(spark, sf):
+    """A5 renderer 5/5: the generic fallback for unregistered roles."""
+    t = _transcripts(spark, sf).where(
+        ~F.col("role").isin("user", "assistant", "tool", "system")
+    )
+    return _summary_of(t)

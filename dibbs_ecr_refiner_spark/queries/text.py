@@ -212,6 +212,24 @@ def dedup_minhash_lsh(spark, sf):
 # --------------------------------------------------------------- SimHash
 
 
+_SIMHASH_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, j.j,
+             SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(range(32)) AS j) j
+      GROUP BY doc_id, j.j)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+
 @q(
     "dedup_simhash",
     """
@@ -253,6 +271,55 @@ def dedup_simhash(spark, sf):
         F.sum(
             F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(0)
         ).alias("simhash")
+    )
+
+
+_HAMMING_MAX = 4
+_N_SIMHASH_BANDS = 4  # 8 bits each over the 32-bit fingerprint
+
+
+@q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH fp AS ({_SIMHASH_SQL}),
+    bands AS (
+      SELECT doc_id, simhash, j.k AS band_idx,
+             (simhash >> (8 * j.k)) & 255 AS band_val
+      FROM fp, (SELECT unnest(range({_N_SIMHASH_BANDS})) AS k) j)
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_pairs(spark, sf):
+    """SimHash near-dup SEARCH completing the family: banded hamming — the
+    32-bit fingerprint splits into 4×8-bit bands; pairs sharing any band
+    value become candidates (pigeonhole: any pair with hamming ≤ 3 shares a
+    clean band; wider radii trade recall), then exact hamming ≤ {max} via
+    bit_count(xor) verifies within buckets only. Shuffle on (band, value) —
+    never an all-pairs comparison."""
+    fp = dedup_simhash(spark, sf)
+    k = F.explode(F.sequence(F.lit(0), F.lit(_N_SIMHASH_BANDS - 1))).alias("band_idx")
+    bands = fp.select(
+        "doc_id", "simhash", k
+    ).withColumn(
+        "band_val", F.expr("(simhash >> (8 * band_idx)) & 255")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= _HAMMING_MAX
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
     )
 
 

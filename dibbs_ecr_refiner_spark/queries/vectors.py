@@ -166,3 +166,107 @@ def ann_lsh_bucket(spark, sf):
         proj = _dot(F.col("embedding"), plane)
         bits.append(F.when(proj > 0, "1").otherwise("0"))
     return e.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+# Multi-table LSH for actual search: L short signatures instead of one
+# long one — a pair is a candidate when ANY table's signature matches
+# (standard random-hyperplane LSH; one 8-bit table keeps the collision
+# probability of weakly-similar true neighbors near zero, which is why
+# ann_lsh_bucket alone is a partitioner, not a search structure).
+_N_TABLES = 8
+_BITS_PER_TABLE = 4
+
+
+def _topk_planes() -> list[list[int]]:
+    # independent of the ann_lsh_bucket planes (salted derivation)
+    return [
+        [_plane_sign(p + 100, d) for d in range(_DIMS)]
+        for p in range(_N_TABLES * _BITS_PER_TABLE)
+    ]
+
+
+def _ann_topk_sql() -> str:
+    planes = _topk_planes()
+    tables = []
+    for t in range(_N_TABLES):
+        bits = []
+        for k in range(_BITS_PER_TABLE):
+            arr = "[" + ", ".join(str(s) for s in planes[t * _BITS_PER_TABLE + k]) + "]"
+            proj = _DOT_SQL.format(a="embedding", b=arr)
+            bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+        tables.append("(" + " || ".join(bits) + ")")
+    sigs = ", ".join(f"{expr} AS b{t}" for t, expr in enumerate(tables))
+    cases = " ".join(f"WHEN {t} THEN b{t}" for t in range(_N_TABLES))
+    return f"""
+    WITH sig AS (SELECT vec_id, {sigs} FROM embeddings),
+    bands AS (
+      SELECT vec_id, t.t AS tbl, CASE t.t {cases} END AS bucket
+      FROM sig, (SELECT unnest(range({_N_TABLES})) AS t) t),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bands qb JOIN bands cb
+        ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+       AND qb.vec_id < 10 AND qb.vec_id <> cb.vec_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                ORDER BY {_COS_SQL} DESC, cand.neighbor_id) AS rank
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+    WHERE rank <= 3
+    """
+
+
+@q("ann_topk", _ann_topk_sql())
+def ann_topk(spark, sf):
+    """ANN search END-TO-END: multi-table LSH candidate generation (4
+    tables × 4 random hyperplanes; candidate = signature match in ANY
+    table) → exact-cosine rerank within candidates → top-k per query. The
+    at-scale counterpart of embed_cosine_topk: candidates come from equi-
+    joins on (table, bucket) — shuffle keyed on the bucket, never n² — and
+    only candidates pay the exact similarity fold. Recall vs the
+    brute-force baseline is pinned in tests/test_text_vectors.py."""
+    e = _emb(spark, sf)
+    planes = _topk_planes()
+    band_structs = []
+    for t in range(_N_TABLES):
+        bits = []
+        for k in range(_BITS_PER_TABLE):
+            plane = F.array(*[F.lit(float(s)) for s in planes[t * _BITS_PER_TABLE + k]])
+            bits.append(F.when(_dot(F.col("embedding"), plane) > 0, "1").otherwise("0"))
+        band_structs.append(
+            F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("bucket"))
+        )
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "bb.tbl", "bb.bucket")
+    qb = bands.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        bands.join(
+            F.broadcast(qb),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -73,6 +73,12 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.CollapseProject",
         )
     )
+    # experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" (bench A/B runs in
+    # fresh subprocesses without code edits)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

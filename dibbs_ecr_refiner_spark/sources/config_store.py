@@ -21,14 +21,24 @@ Layout::
     <root>/v<NNNN>/match_rules.parquet
     <root>/_current            # version int, atomic rename
     <root>/_lock               # present ⇒ maintenance in progress
+    <root>/events.jsonl       # append-only audit log of config mutations
+
+The ``events.jsonl`` audit log ≙ the reference's ``events`` table — "a
+literal change log" of config CRUD (refiner/app/db/events/model.py:12-27,
+schema.sql:296): every mutation (version write, activation flip,
+lock acquire/release) appends one immutable event row. Reads come back as
+a DataFrame (``ConfigStore.events()``) so lineage queries run like any
+other table.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import time
 import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.config import (
     CURRENT_CONFIG_SCHEMA_VERSION,
@@ -38,6 +48,38 @@ from ..plans.config import (
     RoleInstruction,
     build_plan,
 )
+
+EVENT_SCHEMA = (
+    "event_id long, event_type string, version int, created_at double, "
+    "payload string"
+)
+
+EVENT_TYPES = (
+    "create_configuration",   # version-N dimension tables written
+    "activate_version",       # _current pointer flipped
+    "lock_acquire",
+    "lock_release",
+)
+
+
+def _append_event(root: str, event_type: str, version: int | None, payload: dict) -> None:
+    """Append one immutable audit event (single-writer append, like the
+    reference's Postgres events insert). event_id is a monotone per-store
+    sequence derived from the current line count."""
+    p = os.path.join(root, "events.jsonl")
+    n = 0
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            n = sum(1 for _ in f)
+    rec = {
+        "event_id": n,
+        "event_type": event_type,
+        "version": version,
+        "created_at": time.time(),
+        "payload": json.dumps(payload, sort_keys=True),
+    }
+    with open(p, "a") as f:
+        f.write(json.dumps(rec, sort_keys=True) + "\n")
 
 
 class MaintenanceLocked(Exception):
@@ -76,10 +118,22 @@ def write_config_tables(spark: SparkSession, root: str, plan: RefinePlan) -> int
         "fallback_target string, preserve_whole boolean, tier int",
     ).write.mode("overwrite").parquet(os.path.join(vdir, "match_rules.parquet"))
 
+    _append_event(
+        root,
+        "create_configuration",
+        version,
+        {
+            "roles": sorted(plan.instructions),
+            "n_keep_codes": len(plan.keep_codes),
+            "n_rules": len(plan.rules),
+            "schema_version": plan.schema_version,
+        },
+    )
     tmp = os.path.join(root, f"_current.tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(str(version))
     os.rename(tmp, os.path.join(root, "_current"))
+    _append_event(root, "activate_version", version, {"previous": cur})
     return version
 
 
@@ -100,12 +154,23 @@ class ConfigStore:
     def lock(self) -> None:
         with open(os.path.join(self.root, "_lock"), "w") as f:
             f.write("maintenance")
+        _append_event(self.root, "lock_acquire", self.current_version(), {})
 
     def unlock(self) -> None:
         try:
             os.remove(os.path.join(self.root, "_lock"))
         except FileNotFoundError:
-            pass
+            return
+        _append_event(self.root, "lock_release", self.current_version(), {})
+
+    def events(self) -> DataFrame:
+        """The append-only config-mutation audit log as a DataFrame (≙
+        querying the reference's events table). Empty-but-typed when no
+        mutation has happened yet."""
+        p = os.path.join(self.root, "events.jsonl")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        return self.spark.read.schema(EVENT_SCHEMA).json(p)
 
     def is_locked(self) -> bool:
         return os.path.exists(os.path.join(self.root, "_lock"))

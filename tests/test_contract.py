@@ -52,3 +52,22 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     a = rowset(df.columns, [tuple(r) for r in df.collect()])
     b = rowset(duck_cols, res.fetchall())
     assert a == b
+
+
+def test_dist_zip_matches_source():
+    """The committed spark-submit artifact must not go stale: every package
+    source file's bytes must match the zip entry (regenerate with
+    `python tools/build_dist.py`)."""
+    import os
+    import zipfile
+
+    import tools.build_dist as bd
+
+    with zipfile.ZipFile(bd.OUT) as zf:
+        names = set(zf.namelist())
+        for path in bd.source_files():
+            arc = os.path.relpath(path, bd.REPO)
+            assert arc in names, f"missing from dist zip: {arc} — rebuild"
+            assert zf.read(arc) == open(path, "rb").read(), f"stale in dist zip: {arc}"
+        extras = names - {os.path.relpath(p, bd.REPO) for p in bd.source_files()}
+        assert not extras, f"zip carries removed files: {extras}"

@@ -105,7 +105,7 @@ def test_streaming_dedup(spark, log_dir):
 
 def test_stateful_conversation_digest(spark, tmp_path, log_dir):
     """applyInPandasWithState: running per-conversation digests across
-    micro-batches; state accumulates (turns_seen grows monotonically,
+    micro-batches; state accumulates (turn_updates grows monotonically,
     max_lsn equals the log's per-conversation max)."""
     from dibbs_ecr_refiner_spark.streaming.apply import CHANGE_SCHEMA
     from dibbs_ecr_refiner_spark.streaming.stateful import conversation_digest
@@ -125,7 +125,7 @@ def test_stateful_conversation_digest(spark, tmp_path, log_dir):
     )
     q.awaitTermination(300)
     out = spark.sql(
-        "SELECT conv_id, max(max_lsn) AS max_lsn, max(turns_seen) AS turns "
+        "SELECT conv_id, max(max_lsn) AS max_lsn, max(turn_updates) AS turns "
         "FROM digest GROUP BY conv_id"
     )
     expected = (
