@@ -118,7 +118,7 @@ def replay_worker(cores: int, log_path: str, out_path: str) -> None:
         shutil.rmtree(table_root, ignore_errors=True)
 
 
-def _spawn_replay(cores: int, log_path: str) -> dict:
+def _spawn_replay(cores: int, log_path: str, pin: bool = True) -> dict:
     out = tempfile.mktemp(suffix=".json")
     env = dict(os.environ, PYTHONPATH=REPO)
     # scaling evidence isolates CPU scaling from the single shared local
@@ -127,8 +127,17 @@ def _spawn_replay(cores: int, log_path: str) -> dict:
     if os.path.isdir("/dev/shm"):
         env.setdefault("TMPDIR", "/dev/shm")
         env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm")
+    cmd = [sys.executable, os.path.abspath(__file__), "--replay-worker", str(cores), log_path, out]
+    # Pin the whole process tree to exactly `cores` CPUs. local[N] bounds
+    # only TASK threads — the JVM still runs ~20 parallel GC threads, netty
+    # IO, codegen, and python workers across every visible core, which
+    # hands the low-N run far more than N cores' worth of silicon and
+    # corrupts the N→4N ratio. A real N→4N executor test holds per-core
+    # resources constant (scaling adds machines); taskset is that proxy.
+    if pin and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--replay-worker", str(cores), log_path, out],
+        cmd,
         check=True,
         env=env,
         stdout=subprocess.DEVNULL,
@@ -215,12 +224,18 @@ def main_scaling() -> None:
         _make_changelog(spark, log_path)
         spark.stop()
 
-        def best(cores: int) -> dict:
+        def level(cores: int) -> tuple[dict, list]:
+            """Median trial per level. Co-tenant noise on this box is
+            bidirectional (±40%); best-of-N is the WRONG estimator for a
+            RATIO — one lucky low-N trial (or one lucky high-N trial)
+            biases it arbitrarily. The median is the standard robust
+            location estimator; every trial is logged in all_runs."""
             runs = [_spawn_replay(cores, log_path) for _ in range(SCALE_TRIALS)]
-            return max(runs, key=lambda r: r["events_per_sec"])
+            ordered = sorted(runs, key=lambda r: r["events_per_sec"])
+            return ordered[(len(ordered) - 1) // 2], runs
 
-        lo = best(N_LO)
-        hi = best(N_LO * 4)
+        lo, lo_runs = level(N_LO)
+        hi, hi_runs = level(N_LO * 4)
         eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4.0
         print(
             json.dumps(
@@ -230,6 +245,11 @@ def main_scaling() -> None:
                     "unit": "ratio",
                     "low": lo,
                     "high": hi,
+                    "all_runs": {
+                        str(N_LO): [r["events_per_sec"] for r in lo_runs],
+                        str(N_LO * 4): [r["events_per_sec"] for r in hi_runs],
+                    },
+                    "pinned": bool(shutil.which("taskset")),
                 }
             )
         )

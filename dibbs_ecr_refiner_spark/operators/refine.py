@@ -100,7 +100,15 @@ def _rule_match(plan: RefinePlan, rule) -> Column:
     if rule.fallback_target:
         # Fallback evaluated only when the primary found no codes
         # (≙ translation fallback, entry_matching.py:346-379).
-        return F.coalesce(primary, _first_match(plan, rule.fallback_target, rule.system))
+        primary = F.coalesce(primary, _first_match(plan, rule.fallback_target, rule.system))
+    if rule.require_attr:
+        # Attribute guard (≙ sdtc:valueSet, entry_matching.py:329-331):
+        # the candidate only counts when the turn's ``extra`` map carries
+        # the key. try_element_at: missing keys are NULL, not an ANSI error.
+        primary = F.when(
+            F.try_element_at(F.col("extra"), F.lit(rule.require_attr)).isNotNull(),
+            primary,
+        )
     return primary
 
 

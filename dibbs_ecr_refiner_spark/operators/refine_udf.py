@@ -66,6 +66,12 @@ def refine_batch(plan: RefinePlan, pdf: pd.DataFrame) -> pd.DataFrame:
             if rule.fallback_target:
                 fb = _match_series(plan, pdf, rule.fallback_target, rule.system)
                 m = m.where(m.notna(), fb)
+            if rule.require_attr:
+                attr = rule.require_attr
+                has_attr = pdf["extra"].map(
+                    lambda mp: bool(mp) and attr in mp and mp[attr] is not None
+                )
+                m = m.where(has_attr, None)
             claim = role_mask & matched.isna() & m.notna()
             matched = matched.where(~claim, m)
             tier = tier.where(~claim, rule.tier)

@@ -58,6 +58,11 @@ class MatchRule:
     fallback_target: str | None = None  # checked only if primary found nothing
     preserve_whole: bool = False
     tier: int = 1
+    # attribute guard (≙ the sdtc:valueSet guard, reference
+    # entry_matching.py:329-331,362-365 + rationale ecr/model.py:191-210):
+    # a candidate only counts when the turn carries this ``extra`` map key —
+    # distinguishing trigger-style annotated matches from incidental ones.
+    require_attr: str | None = None
 
 
 @dataclass(frozen=True)

@@ -270,3 +270,91 @@ def ann_topk(spark, sf):
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# IVF (inverted-file) ANN — the other standard scale path the brief names.
+# Coarse quantizer: the first _N_CELLS table vectors serve as deterministic
+# centroids (no iterative k-means — seeded assignment keeps the oracle
+# bit-exact); every vector is assigned to its nearest centroid's list, and
+# a query probes only its _N_PROBE nearest lists before the exact rerank.
+_N_CELLS = 16
+_N_PROBE = 2
+
+_IVF_ASSIGN_SQL = f"""
+    SELECT e.vec_id, c.vec_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DOT_SQL.format(a="e.embedding", b="c.embedding")} / ({_NORM_SQL.format(a="e.embedding")} * {_NORM_SQL.format(a="c.embedding")}) DESC,
+                                       c.vec_id) AS cell_rank
+    FROM embeddings e JOIN embeddings c ON c.vec_id < {_N_CELLS}
+"""
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH assign AS (SELECT vec_id, cell FROM ({_IVF_ASSIGN_SQL}) WHERE cell_rank = 1),
+    probes AS (SELECT vec_id, cell FROM ({_IVF_ASSIGN_SQL})
+               WHERE cell_rank <= {_N_PROBE} AND vec_id < 10),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                ORDER BY {_COS_SQL} DESC, cand.neighbor_id) AS rank
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark, sf):
+    """IVF ANN end-to-end: broadcast the {cells} centroids, assign every
+    vector to its nearest list (broadcast join + top-1 window — one pass,
+    no n² pair set), probe the query's {probe} nearest lists, exact-cosine
+    rerank within candidates. At 100 TB the inverted lists are the shuffle
+    key: candidates scale with list occupancy (n/{cells} per probe), never
+    with n²."""
+    e = _emb(spark, sf)
+    cent = e.where(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    ranked = (
+        e.join(F.broadcast(cent))
+        .withColumn("csim", sim)
+        .withColumn("cell_rank", F.row_number().over(w))
+        .select("vec_id", "cell", "cell_rank")
+    )
+    assign = ranked.where(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    probes = ranked.where(
+        (F.col("cell_rank") <= _N_PROBE) & (F.col("vec_id") < 10)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        probes.join(assign, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb2"))
+    rsim = _dot(F.col("q_emb"), F.col("c_emb2")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .withColumn("sim", rsim)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ann_ivf_topk.__doc__ = ann_ivf_topk.__doc__.format(cells=_N_CELLS, probe=_N_PROBE)

@@ -57,6 +57,9 @@ EVENT_SCHEMA = (
 EVENT_TYPES = (
     "create_configuration",   # version-N dimension tables written
     "activate_version",       # _current pointer flipped
+    "add_code",               # CRUD: keep-code added (new version)
+    "remove_code",            # CRUD: keep-code removed (new version)
+    "section_update",         # CRUD: role instruction changed (new version)
     "lock_acquire",
     "lock_release",
 )
@@ -111,11 +114,15 @@ def write_config_tables(spark: SparkSession, root: str, plan: RefinePlan) -> int
 
     spark.createDataFrame(
         [
-            (r.role, r.rule_idx, r.target, r.system, r.fallback_target, r.preserve_whole, r.tier)
+            (
+                r.role, r.rule_idx, r.target, r.system, r.fallback_target,
+                r.preserve_whole, r.tier, r.require_attr,
+            )
             for r in plan.rules
         ],
         "role string, rule_idx int, target string, system string, "
-        "fallback_target string, preserve_whole boolean, tier int",
+        "fallback_target string, preserve_whole boolean, tier int, "
+        "require_attr string",
     ).write.mode("overwrite").parquet(os.path.join(vdir, "match_rules.parquet"))
 
     _append_event(
@@ -178,6 +185,59 @@ class ConfigStore:
     def current_version(self) -> int | None:
         return _read_current(self.root)
 
+    # ---- CRUD (≙ the reference's configuration endpoints, app/db/*/db.py:
+    # every mutation is snapshot-style — a NEW immutable version + an audit
+    # event — never an in-place edit; readers keep the version they loaded).
+
+    def _mutate(self, event_type: str, payload: dict, fn) -> int:
+        plan = self.load_plan()
+        new_plan = fn(plan)
+        version = write_config_tables(self.spark, self.root, new_plan)
+        _append_event(self.root, event_type, version, payload)
+        return version
+
+    def add_code(self, code: KeepCode) -> int:
+        """Add a keep-code (≙ add_code / custom-code CRUD). Returns the new
+        active version."""
+        return self._mutate(
+            "add_code",
+            {"system": code.system, "code": code.code},
+            lambda p: build_plan(
+                list(p.instructions.values()),
+                [*p.keep_codes, code],
+                list(p.rules),
+                config_version=p.config_version,
+                schema_version=p.schema_version,
+            ),
+        )
+
+    def remove_code(self, system: str, code: str) -> int:
+        return self._mutate(
+            "remove_code",
+            {"system": system, "code": code},
+            lambda p: build_plan(
+                list(p.instructions.values()),
+                [k for k in p.keep_codes if not (k.system == system and k.code == code)],
+                list(p.rules),
+                config_version=p.config_version,
+                schema_version=p.schema_version,
+            ),
+        )
+
+    def update_role_instruction(self, instr: RoleInstruction) -> int:
+        """Replace one role's instruction (≙ section_update)."""
+        return self._mutate(
+            "section_update",
+            {"role": instr.role, "action": instr.action, "narrative": instr.narrative},
+            lambda p: build_plan(
+                [i for r, i in p.instructions.items() if r != instr.role] + [instr],
+                list(p.keep_codes),
+                list(p.rules),
+                config_version=p.config_version,
+                schema_version=p.schema_version,
+            ),
+        )
+
     def load_plan(self, version: int | None = None) -> RefinePlan:
         """Resolve the active plan (≙ load_active_configuration):
         lock gate → current-version pointer → dimension tables → schema
@@ -201,6 +261,8 @@ class ConfigStore:
             MatchRule(
                 r["role"], r["rule_idx"], r["target"], r["system"],
                 r["fallback_target"], r["preserve_whole"], r["tier"],
+                # tolerate v1 tables written before the attribute guard
+                r["require_attr"] if "require_attr" in r.__fields__ else None,
             )
             for r in rules
         ]

@@ -235,3 +235,79 @@ def test_preserve_whole_rule_keeps_container_intact(spark):
     )
     out = compile_refinement(plan)(df)
     assert _items_of(out) == {("c", 0): ["junk", "junk"]}
+
+
+# ---------------- attribute guard (P6, ≙ sdtc:valueSet) ----------------
+
+
+def _turns_with_extra(spark, rows):
+    """rows: (conv, idx, role, text, extra_dict_or_None)"""
+    return spark.createDataFrame(
+        [(c, i, r, x, None, TS, 1, e) for (c, i, r, x, e) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, change_lsn long, extra map<string,string>",
+    )
+
+
+def test_attribute_guard_gates_candidates(spark):
+    """A rule with require_attr only claims turns carrying the attribute
+    (≙ candidate counts only if sdtc:valueSet present,
+    entry_matching.py:329-331); an identical unguarded later rule may still
+    claim at its own (lower-precedence) tier."""
+    plan = _plan(
+        rules=[
+            MatchRule("assistant", 0, target="text", system="token",
+                      require_attr="vs", tier=1),
+            MatchRule("assistant", 1, target="text", system="token", tier=2),
+        ]
+    )
+    df = _turns_with_extra(
+        spark,
+        [
+            ("c", 0, "assistant", "fever with attr", {"vs": "2.16"}),
+            ("c", 1, "assistant", "fever without attr", {"other": "x"}),
+            ("c", 2, "assistant", "fever null map", None),
+        ],
+    )
+    out = {r["turn_idx"]: (r["_matched_code"], r["_tier"]) for r in
+           compile_refinement(plan)(df).collect()}
+    assert out[0] == ("fever", 1)   # guard satisfied → tier-1 rule claims
+    assert out[1] == ("fever", 2)   # guard fails → falls to unguarded tier-2
+    assert out[2] == ("fever", 2)
+
+
+def test_attribute_guard_udf_parity(spark):
+    """The pandas-UDF interpreter applies the same guard."""
+    from dibbs_ecr_refiner_spark.operators.refine_udf import apply_refinement_udf
+
+    plan = _plan(
+        rules=[
+            MatchRule("assistant", 0, target="text", system="token",
+                      require_attr="vs", tier=1),
+        ]
+    )
+    df = _turns_with_extra(
+        spark,
+        [
+            ("c", 0, "assistant", "fever yes", {"vs": "1"}),
+            ("c", 1, "assistant", "fever no", None),
+        ],
+    )
+    compiled = {r["turn_idx"]: r["_matched_code"] for r in
+                compile_refinement(plan)(df).collect()}
+    udf = {r["turn_idx"]: r["_matched_code"] for r in
+           apply_refinement_udf(df, plan).collect()}
+    assert compiled == udf == {0: "fever", 1: None}
+
+
+def test_store_roundtrips_require_attr(spark, tmp_path):
+    from dibbs_ecr_refiner_spark.sources import ConfigStore, write_config_tables
+
+    plan = _plan(
+        rules=[MatchRule("assistant", 0, target="text", system="token",
+                         require_attr="vs", tier=1)]
+    )
+    root = str(tmp_path / "cfg")
+    write_config_tables(spark, root, plan)
+    loaded = ConfigStore(spark, root).load_plan()
+    assert loaded.rules[0].require_attr == "vs"

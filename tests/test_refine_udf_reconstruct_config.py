@@ -149,3 +149,35 @@ def test_config_store_appends_audit_events(spark, tmp_path):
     # append-only: unlock of a non-existent lock appends nothing
     store.unlock()
     assert store.events().count() == 6
+
+
+def test_config_store_crud_is_snapshot_style(spark, tmp_path):
+    """CRUD surface (≙ the reference's configuration endpoints): every
+    mutation creates a NEW version + its audit event; prior versions stay
+    loadable (readers keep the version they resolved)."""
+    from dibbs_ecr_refiner_spark.plans.config import KeepCode, RoleInstruction
+    from dibbs_ecr_refiner_spark.sources import ConfigStore, write_config_tables
+
+    root = str(tmp_path / "cfg-crud")
+    store = ConfigStore(spark, root)
+    write_config_tables(spark, root, default_plan())
+
+    v2 = store.add_code(KeepCode("token", "oscar", "Oscar"))
+    assert v2 == 2
+    assert any(k.code == "oscar" for k in store.load_plan().keep_codes)
+    assert not any(k.code == "oscar" for k in store.load_plan(version=1).keep_codes)
+
+    v3 = store.remove_code("token", "oscar")
+    assert not any(k.code == "oscar" for k in store.load_plan().keep_codes)
+
+    v4 = store.update_role_instruction(
+        RoleInstruction("tool", include=True, action="retain", narrative="retain")
+    )
+    assert store.load_plan().instructions["tool"].action == "retain"
+    assert store.load_plan(version=v3).instructions["tool"].action == "refine"
+
+    kinds = [r["event_type"] for r in store.events().orderBy("event_id").collect()]
+    assert kinds.count("add_code") == 1
+    assert kinds.count("remove_code") == 1
+    assert kinds.count("section_update") == 1
+    assert v4 == 4
