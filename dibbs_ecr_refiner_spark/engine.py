@@ -143,7 +143,14 @@ class ReplayEngine:
     def replay(self, changes: DataFrame, batch_col: str = "ingest_file") -> ReplayStats:
         """Replay every batch in batch-id order (≙ LSN-range order). Batches
         already recorded in the manifest are skipped — resuming after a
-        crash replays only uncommitted work (exactly-once)."""
+        crash replays only uncommitted work (exactly-once).
+
+        Scale note: each batch filters ``changes`` on ``batch_col``. When
+        the input is parquet partitioned by that column (use
+        ``replay_path``), partition pruning makes every per-batch read
+        touch only its own files; on an UNPARTITIONED frame each batch
+        re-scans the full input — fine for small backfills, a full-scan-
+        per-batch footgun at log scale. Prefer ``replay_path``."""
         from .lake.table import bucket_expr
 
         stats = ReplayStats()

@@ -58,12 +58,15 @@ def salted_lww(
 
 def hot_key_report(df: DataFrame, key: str = "conv_id", top: int = 20) -> DataFrame:
     """Diagnostic pre-pass: heaviest keys and their share of the batch —
-    cheap (single column scan + partial agg), used to decide salting."""
-    total = df.count()
+    used to decide salting. ONE action: the batch total rides along as a
+    broadcast single-row aggregate (no separate driver-side df.count()
+    job), and the top-k is a TakeOrdered, not a full sort."""
+    counts = df.groupBy(key).count()
+    total = counts.agg(F.sum("count").alias("_total"))
     return (
-        df.groupBy(key)
-        .count()
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("count") / F.col("_total"))
+        .drop("_total")
         .orderBy(F.col("count").desc())
         .limit(top)
-        .withColumn("share", F.col("count") / F.lit(total))
     )
