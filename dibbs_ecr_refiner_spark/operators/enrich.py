@@ -62,12 +62,20 @@ def config_display_expr(plan: RefinePlan, code_col: str = "_matched_code") -> Co
     )
 
 
+def _displayless_codes(plan: RefinePlan) -> list[str]:
+    """Only codes WITHOUT a config display can ever resolve through the
+    narrative index (``coalesce(config, narrative)`` never reaches the
+    second source otherwise) — indexing the rest would be dead work."""
+    have_display = {k.code for k in plan.keep_codes if k.display is not None}
+    return sorted(plan.codes_for(None) - have_display)
+
+
 def narrative_index(df: DataFrame, plan: RefinePlan) -> DataFrame | None:
     """Source 2: per-(conv_id, code) snippet of the earliest live narrative
     turn mentioning the code. None when the plan has no narrative roles or
-    no keep codes (nothing to index)."""
+    no display-less keep codes (nothing the index could ever resolve)."""
     roles = narrative_roles(plan)
-    codes = sorted(plan.codes_for(None))
+    codes = _displayless_codes(plan)
     if not roles or not codes:
         return None
     toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]+")
