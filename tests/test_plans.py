@@ -101,3 +101,17 @@ def test_dedup_clusters_final_plan_has_no_shingling_subtree(spark, sf_dir):
     assert "documents" not in plan
     assert "parquet" not in plan.lower()
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_enrichment_index_join_broadcasts_at_runtime(spark):
+    """The narrative-index join must resolve to a broadcast at runtime (AQE
+    sizes the tiny index side), so the big refined frame pays no exchange
+    for display enrichment."""
+    changes = generate_changes(
+        spark, ChangeLogParams(n_conversations=50, turns_per_conv=6, n_events=2000, n_batches=1)
+    )
+    df = prepare_delta(changes, default_plan())
+    df.write.format("noop").mode("overwrite").save()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
