@@ -264,3 +264,40 @@ def config_events(spark, sf):
         e.join(F.broadcast(busiest), "user_id", "leftsemi")
         .select("user_id", F.row_number().over(w).alias("version"), "event_type")
     )
+
+
+@q(
+    "session_window_agg",
+    """
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events))
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark, sf):
+    """Sessionization via Spark's NATIVE session_window() (the primitive
+    `sessionize` spells out with lag+cumsum): dynamic-gap grouped agg —
+    one shuffle on the grouping key, session state merged inside the agg,
+    no window function at all. Oracle: gaps-and-islands SQL; both emit
+    (user, first-event ts, count), so the two spellings cross-check."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )

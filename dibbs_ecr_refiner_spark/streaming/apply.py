@@ -100,3 +100,26 @@ def streaming_dedup(spark: SparkSession, log_path: str, watermark: str = "1 hour
     return changes.withWatermark("ts", watermark).dropDuplicates(
         ["conv_id", "turn_idx", "change_lsn"]
     )
+
+
+def streaming_sessions(
+    spark: SparkSession, log_path: str, gap: str = "30 minutes", watermark: str = "1 hour"
+):
+    """Session windows over the live change stream: per-conversation
+    activity sessions closed after ``gap`` of event-time silence, state
+    bounded by the watermark (a session older than watermark+gap can never
+    merge again and is emitted/evicted). The streaming spelling of
+    queries/cdcq.session_window_agg."""
+    changes = spark.readStream.schema(CHANGE_SCHEMA).parquet(log_path)
+    return (
+        changes.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "first_ts",
+            "n_events",
+        )
+    )

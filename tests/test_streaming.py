@@ -136,3 +136,33 @@ def test_stateful_conversation_digest(spark, tmp_path, log_dir):
     joined = out.join(expected, "conv_id")
     assert joined.where(F.col("max_lsn") != F.col("want_lsn")).isEmpty()
     assert joined.where(F.col("turns") <= 0).isEmpty()
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path, log_dir):
+    """session_window over the stream (availableNow drain) must produce the
+    same per-conversation sessions as the batch groupBy(session_window)."""
+    from dibbs_ecr_refiner_spark.streaming.apply import streaming_sessions
+
+    q = (
+        streaming_sessions(spark, log_dir)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["first_ts"], r["n_events"])
+        for r in spark.sql("SELECT conv_id, first_ts, n_events FROM sessions").collect()
+    }
+    batch = (
+        spark.read.parquet(log_dir)
+        .groupBy("conv_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("first_ts"))
+    )
+    want = {
+        (r["conv_id"], r["first_ts"], r["n_events"])
+        for r in batch.select("conv_id", "first_ts", "n_events").collect()
+    }
+    assert got == want and got
