@@ -70,6 +70,32 @@ def cmd_compact(args) -> dict:
     return {"cmd": "compact", "gc_below": gc_below, **{k: v for k, v in res.items() if k != "seconds"}}
 
 
+def cmd_gc(args) -> dict:
+    from dibbs_ecr_refiner_spark.lake.maintenance import gc_orphans
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table, num_buckets=args.buckets)
+    res = gc_orphans(table, min_age_sec=args.min_age)
+    return {"cmd": "gc", **res}
+
+
+def cmd_events(args) -> dict:
+    from dibbs_ecr_refiner_spark.sources import ConfigStore
+
+    spark = _spark(args)
+    ev = ConfigStore(spark, args.config).events().orderBy("event_id")
+    rows = ev.tail(args.limit)
+    return {
+        "cmd": "events",
+        "total": ev.count(),
+        "tail": [
+            {"event_id": r["event_id"], "event_type": r["event_type"], "version": r["version"]}
+            for r in rows
+        ],
+    }
+
+
 def cmd_show(args) -> dict:
     from dibbs_ecr_refiner_spark.lake.table import LakeTable
 
@@ -116,10 +142,24 @@ def main(argv=None) -> int:
     s.add_argument("--table", required=True)
     s.add_argument("--buckets", type=int, default=64)
 
+    gc = sub.add_parser("gc", help="remove orphaned/unreferenced data files")
+    gc.add_argument("--table", required=True)
+    gc.add_argument("--buckets", type=int, default=64)
+    gc.add_argument("--min-age", type=float, default=3600.0)
+
+    e = sub.add_parser("events", help="config-mutation audit log")
+    e.add_argument("--config", required=True)
+    e.add_argument("--limit", type=int, default=10)
+
     args = ap.parse_args(argv)
-    out = {"generate": cmd_generate, "replay": cmd_replay, "compact": cmd_compact, "show": cmd_show}[
-        args.cmd
-    ](args)
+    out = {
+        "generate": cmd_generate,
+        "replay": cmd_replay,
+        "compact": cmd_compact,
+        "show": cmd_show,
+        "gc": cmd_gc,
+        "events": cmd_events,
+    }[args.cmd](args)
     print(json.dumps(out))
     return 0
 
