@@ -52,9 +52,19 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from dibbs_ecr_refiner_spark.session import get_spark
+    # VANILLA session on purpose: the driver's correctness gate runs the
+    # contract under a plain SparkSession, so queries must not depend on
+    # anything session.py tunes (UTC is pinned because the driver does too).
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="contract-check", cores=16, shuffle_partitions=16)
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("contract-check")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
