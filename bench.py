@@ -87,14 +87,14 @@ def _make_changelog(spark, path: str) -> int:
     return REPLAY_EVENTS
 
 
-def _replay(spark, log_path: str, table_root: str, buckets: int = 64):
+def _replay(spark, log_path: str, table_root: str, buckets: int = 64, mode: str = "cow"):
     from dibbs_ecr_refiner_spark.engine import ReplayEngine
     from dibbs_ecr_refiner_spark.lake.table import LakeTable
     from dibbs_ecr_refiner_spark.plans.config import default_plan
 
     table = LakeTable(spark, table_root, num_buckets=buckets)
     eng = ReplayEngine(spark, table, default_plan())
-    return eng.replay_path(log_path)
+    return eng.replay_path(log_path, mode=mode), eng
 
 
 def replay_worker(cores: int, log_path: str, out_path: str) -> None:
@@ -103,7 +103,7 @@ def replay_worker(cores: int, log_path: str, out_path: str) -> None:
     spark = get_spark(app_name=f"bench-replay-{cores}", cores=cores)
     table_root = tempfile.mkdtemp(prefix=f"bench-lake-{cores}-")
     try:
-        stats = _replay(spark, log_path, table_root)
+        stats, _ = _replay(spark, log_path, table_root)
         with open(out_path, "w") as f:
             json.dump(
                 {
@@ -163,7 +163,7 @@ def main_bench() -> None:
         log_path = os.path.join(work, "changelog")
         n_events = _make_changelog(spark, log_path)
         t0 = time.time()
-        stats = _replay(spark, log_path, os.path.join(work, "lake"))
+        stats, _ = _replay(spark, log_path, os.path.join(work, "lake"))
         replay_sec = time.time() - t0
         times["cdc_replay"] = round(replay_sec, 3)
         cdc = {
@@ -171,6 +171,27 @@ def main_bench() -> None:
             "seconds": round(replay_sec, 3),
             "events_per_sec": round(n_events / replay_sec, 1),
             "batches": stats.batches,
+        }
+
+        # Same log in merge-on-read mode: each batch commits only its own
+        # winners (write cost O(batch), not O(touched buckets)); the fold
+        # (compaction back to base files + display convergence) is timed
+        # separately — at the 10^10 target it amortizes over many batches.
+        t0 = time.time()
+        mor_stats, mor_eng = _replay(spark, log_path, os.path.join(work, "lake_mor"), mode="mor")
+        mor_sec = time.time() - t0
+        t0 = time.time()
+        mor_eng.fold_deltas()
+        fold_sec = time.time() - t0
+        # reported inside "cdc" (not "queries") so the headline total stays
+        # comparable round-over-round
+        cdc["mor"] = {
+            "events": n_events,
+            "seconds": round(mor_sec, 3),
+            "events_per_sec": round(n_events / mor_sec, 1),
+            "fold_seconds": round(fold_sec, 3),
+            "events_per_sec_incl_fold": round(n_events / (mor_sec + fold_sec), 1),
+            "batches": mor_stats.batches,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

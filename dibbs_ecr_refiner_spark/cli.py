@@ -48,9 +48,12 @@ def cmd_replay(args) -> dict:
     spark = _spark(args)
     plan = ConfigStore(spark, args.config).load_plan() if args.config else default_plan()
     table = LakeTable(spark, args.table, num_buckets=args.buckets)
-    stats = ReplayEngine(spark, table, plan).replay_path(args.changelog)
+    stats = ReplayEngine(spark, table, plan).replay_path(
+        args.changelog, mode=args.mode, fold_every=args.fold_every
+    )
     return {
         "cmd": "replay",
+        "mode": args.mode,
         "batches_applied": stats.batches,
         "batches_skipped": stats.batches_skipped,
         "events": stats.events,
@@ -66,8 +69,46 @@ def cmd_compact(args) -> dict:
     spark = _spark(args)
     table = LakeTable(spark, args.table, num_buckets=args.buckets)
     gc_below = min_safe_gc_lsn(table) if args.gc_tombstones else None
-    res = compact(table, drop_tombstones_below=gc_below)
+    post = None
+    if args.config:
+        # folding MOR deltas with a config present: recompute display
+        # enrichment over the resolved rows (engine.fold_deltas semantics)
+        from dibbs_ecr_refiner_spark.operators.enrich import enrich_displays
+        from dibbs_ecr_refiner_spark.sources import ConfigStore
+
+        plan = ConfigStore(spark, args.config).load_plan()
+        post = lambda d: enrich_displays(d, plan)  # noqa: E731
+    res = compact(table, drop_tombstones_below=gc_below, post=post)
     return {"cmd": "compact", "gc_below": gc_below, **{k: v for k, v in res.items() if k != "seconds"}}
+
+
+def cmd_changes(args) -> dict:
+    """Incremental scan (CDC-out): summarize rows added between snapshots."""
+    from pyspark.sql import functions as F
+
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table, num_buckets=args.buckets)
+    feed = table.read_changes(args.from_version, args.to_version)
+    agg = feed.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("_deleted").cast("long")).alias("deletes"),
+        F.min("change_lsn").alias("lsn_min"),
+        F.max("change_lsn").alias("lsn_max"),
+    ).collect()[0]
+    if args.out:
+        feed.write.mode("overwrite").parquet(args.out)
+    return {
+        "cmd": "changes",
+        "from": args.from_version,
+        "to": args.to_version or table.current_snapshot()["snapshot_id"],
+        "rows": int(agg["rows"] or 0),
+        "deletes": int(agg["deletes"] or 0),
+        "lsn_min": agg["lsn_min"],
+        "lsn_max": agg["lsn_max"],
+        "out": args.out,
+    }
 
 
 def cmd_gc(args) -> dict:
@@ -108,6 +149,7 @@ def cmd_show(args) -> dict:
         "snapshot": snap["snapshot_id"],
         "schema_version": snap["schema_version"],
         "files": len(snap["files"]),
+        "delta_files": sum(1 for f in snap["files"] if f.get("kind", "base") == "delta"),
         "batches_applied": len(snap["applied_batches"]),
         "live_rows": live,
         "watermark_min": min((int(v) for v in snap["watermarks"].values()), default=None),
@@ -132,11 +174,17 @@ def main(argv=None) -> int:
     r.add_argument("--table", required=True)
     r.add_argument("--config", default=None, help="config store root (default: built-in plan)")
     r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                   help="cow rewrites touched buckets; mor commits delta files resolved at read")
+    r.add_argument("--fold-every", type=int, default=None,
+                   help="mor only: compact deltas every N committed batches")
 
-    c = sub.add_parser("compact", help="compact buckets / GC tombstones")
+    c = sub.add_parser("compact", help="compact buckets / fold MOR deltas / GC tombstones")
     c.add_argument("--table", required=True)
     c.add_argument("--buckets", type=int, default=64)
     c.add_argument("--gc-tombstones", action="store_true")
+    c.add_argument("--config", default=None,
+                   help="config store root: re-enrich displays while folding deltas")
 
     s = sub.add_parser("show", help="table status from the current snapshot")
     s.add_argument("--table", required=True)
@@ -151,6 +199,13 @@ def main(argv=None) -> int:
     e.add_argument("--config", required=True)
     e.add_argument("--limit", type=int, default=10)
 
+    ch = sub.add_parser("changes", help="incremental scan: rows added between snapshots")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--buckets", type=int, default=64)
+    ch.add_argument("--from-version", type=int, default=None)
+    ch.add_argument("--to-version", type=int, default=None)
+    ch.add_argument("--out", default=None, help="optional parquet dir to write the feed")
+
     args = ap.parse_args(argv)
     out = {
         "generate": cmd_generate,
@@ -159,6 +214,7 @@ def main(argv=None) -> int:
         "show": cmd_show,
         "gc": cmd_gc,
         "events": cmd_events,
+        "changes": cmd_changes,
     }[args.cmd](args)
     print(json.dumps(out))
     return 0

@@ -104,6 +104,7 @@ class ReplayEngine:
         touched: list[int] | None = None,
         hot: list[int] | None = None,
         bucket_lsn_max: dict[int, int] | None = None,
+        mode: str = "cow",
     ) -> dict:
         if self.table.is_applied(batch_id):
             return {"skipped": True, "batch_id": batch_id}
@@ -122,8 +123,14 @@ class ReplayEngine:
             touched, hot = _touched_and_hot({r["b"]: r["count"] for r in counts})
             bucket_lsn_max = {int(r["b"]): int(r["lsn"]) for r in counts}
         # The batch is merged RAW: merge runs one LWW over (delta ∪ target)
-        # and then the guarded refinement pass over the fresh winners —
-        # exactly one aggregation shuffle per batch.
+        # — or over the delta alone in merge-on-read mode — and then the
+        # guarded refinement pass over the fresh winners: exactly one
+        # aggregation shuffle per batch either way. Refinement is a pure
+        # row function, so MOR's batch-local refine composes with the
+        # read-time LWW: the global winner per key carries exactly the
+        # refinement the batch oracle would compute. Display enrichment is
+        # conversation-scoped (not row-pure), so under MOR it is batch-local
+        # here and converges globally at read_refined()/compaction-fold.
         delta = normalize_changes(changes)
         refine = compile_refinement(self.plan, guarded=True)
         plan = self.plan
@@ -138,12 +145,45 @@ class ReplayEngine:
             post_reduce=lambda d: enrich_displays(refine(d), plan),
             hot_buckets=hot,
             bucket_lsn_max=bucket_lsn_max,
+            mode=mode,
         )
 
-    def replay(self, changes: DataFrame, batch_col: str = "ingest_file") -> ReplayStats:
+    def read_refined(self) -> DataFrame:
+        """Fully-converged live view: table read (LWW-resolves any
+        merge-on-read deltas) + a display-enrichment recompute over the
+        resolved content. Under COW commits this equals ``table.read()``
+        (enrichment already ran per merge, and it is idempotent); under
+        MOR it converges displays that batch-local enrichment could not
+        see (a narrative turn in batch k back-filling a row from batch
+        k-1), matching the batch oracle exactly."""
+        df = self.table.read(include_tombstones=True)
+        return enrich_displays(df, self.plan).where(~F.col("_deleted"))
+
+    def fold_deltas(self) -> dict:
+        """Compact merge-on-read deltas into base files, recomputing the
+        display enrichment over the resolved rows so the folded table is
+        byte-equal to a COW replay of the same log."""
+        from .lake.maintenance import compact
+
+        plan = self.plan
+        return compact(self.table, post=lambda d: enrich_displays(d, plan))
+
+    def replay(
+        self,
+        changes: DataFrame,
+        batch_col: str = "ingest_file",
+        mode: str = "cow",
+        fold_every: int | None = None,
+    ) -> ReplayStats:
         """Replay every batch in batch-id order (≙ LSN-range order). Batches
         already recorded in the manifest are skipped — resuming after a
         crash replays only uncommitted work (exactly-once).
+
+        ``mode="mor"`` commits each batch as delta files (write cost
+        O(batch) instead of O(touched buckets) — the COW write
+        amplification is the dominant ingest cost when batches are small
+        relative to the table); ``fold_every=k`` compacts the deltas every
+        k committed batches so read-time merge cost stays bounded.
 
         Scale note: each batch filters ``changes`` on ``batch_col``. When
         the input is parquet partitioned by that column (use
@@ -181,21 +221,30 @@ class ReplayEngine:
                 touched=touched,
                 hot=hot,
                 bucket_lsn_max=lsn_by_batch[batch_id],
+                mode=mode,
             )
             if res.get("skipped"):
                 stats.batches_skipped += 1
             else:
                 stats.batches += 1
                 stats.lineage.append(res)
+                if fold_every and stats.batches % fold_every == 0:
+                    self.fold_deltas()
         stats.seconds = time.time() - t0
         return stats
 
-    def replay_path(self, path: str, batch_col: str = "ingest_file") -> ReplayStats:
+    def replay_path(
+        self,
+        path: str,
+        batch_col: str = "ingest_file",
+        mode: str = "cow",
+        fold_every: int | None = None,
+    ) -> ReplayStats:
         """Replay a change log laid out as parquet partitioned by batch —
         partition pruning makes each per-batch read touch only its own
         files (the 'tail above the high-watermark' pattern, SURVEY §2.1 S1)."""
         changes = self.spark.read.parquet(path)
-        return self.replay(changes, batch_col=batch_col)
+        return self.replay(changes, batch_col=batch_col, mode=mode, fold_every=fold_every)
 
 
 def batch_oracle(changes: DataFrame, plan: RefinePlan) -> DataFrame:

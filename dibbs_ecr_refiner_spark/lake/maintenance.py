@@ -1,10 +1,10 @@
 """Table maintenance: bucket compaction + tombstone GC.
 
-Copy-on-write MERGE leaves one file per touched bucket per batch; over many
-batches a bucket accumulates... actually each merge rewrites the touched
-bucket wholly, so steady-state is ~1 file/bucket — but crash reruns and
-schema-evolution snapshots can strand small files, and tombstones accumulate
-forever without GC (one per deleted key).
+Copy-on-write MERGE rewrites the touched bucket wholly, so steady-state is
+~1 file/bucket — but crash reruns and schema-evolution snapshots can strand
+small files, tombstones accumulate forever without GC (one per deleted key),
+and merge-on-read commits accumulate one delta file per touched bucket per
+batch by design (read cost grows with deltas until a fold).
 
 ``compact`` rewrites chosen buckets into fresh files, optionally dropping
 tombstones whose change_lsn is below every bucket's high-watermark minus a
@@ -29,22 +29,34 @@ def compact(
     table: LakeTable,
     buckets: list[int] | None = None,
     drop_tombstones_below: int | None = None,
+    post=None,
 ) -> dict:
-    """Rewrite ``buckets`` (default: all with >1 file or any file when
-    GC'ing) as one file each; optionally drop tombstones with
-    change_lsn <= drop_tombstones_below."""
+    """Rewrite ``buckets`` (default: all with >1 file, any merge-on-read
+    delta file, or any file when GC'ing) as one base file each; optionally
+    drop tombstones with change_lsn <= drop_tombstones_below.
+
+    Folding MOR deltas happens for free: ``table.read`` LWW-resolves them,
+    and the rewrite commits plain base files (``kind`` absent), so the
+    read-time merge cost drops back to zero for the folded buckets.
+    ``post`` (optional fn(DataFrame) -> DataFrame) runs over the resolved
+    rows before the rewrite — the engine passes its display-enrichment
+    recompute here so MOR batches' batch-local displays converge to the
+    global view at fold time."""
     snap = table.current_snapshot()
     if snap is None:
         return {"skipped": True, "reason": "no snapshot"}
 
     by_bucket: dict[int, int] = {}
+    delta_buckets: set[int] = set()
     for f in snap["files"]:
         by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        if f.get("kind", "base") == "delta":
+            delta_buckets.add(f["bucket"])
     if buckets is None:
         if drop_tombstones_below is not None:
             buckets = sorted(by_bucket)
         else:
-            buckets = sorted(b for b, n in by_bucket.items() if n > 1)
+            buckets = sorted(b for b, n in by_bucket.items() if n > 1 or b in delta_buckets)
     if not buckets:
         return {"skipped": True, "reason": "nothing to compact"}
 
@@ -53,6 +65,8 @@ def compact(
         df = df.where(
             ~(F.col("_deleted") & (F.col("change_lsn") <= drop_tombstones_below))
         )
+    if post is not None:
+        df = post(df)
 
     batch_id = f"compact-{snap['snapshot_id']}-{int(time.time() * 1000)}"
     # replace_buckets: the filtered read IS the new bucket content (rows are

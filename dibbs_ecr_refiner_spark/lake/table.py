@@ -33,6 +33,21 @@ Scale properties:
   (file list comes from the manifest — no directory listing, no full scan).
   At 100 TB with enough buckets, a batch touching k buckets costs O(k),
   not O(table).
+- **Merge-on-read mode** (``merge(mode="mor")``): the batch's refined
+  winners are committed as *delta* files (``kind: "delta"`` in the
+  manifest) without rewriting the touched buckets — write cost O(batch),
+  not O(touched buckets). ``read()`` detects delta files and resolves LWW
+  at read time (the same hash-agg as the write path); ``maintenance.
+  compact`` folds deltas back into base files. This is the Iceberg
+  COW-vs-MOR trade: MOR for write-heavy ingest phases (10^10-event
+  backfill), fold + COW for read-heavy steady state. Physical storage
+  holds ≤1 row per key per *commit* rather than per table; bounded by
+  compaction cadence.
+- **Time travel + incremental scan.** Snapshots are immutable; ``read(
+  version=v)`` reads any retained snapshot, and ``read_changes(v1, v2)``
+  emits the rows of files added between two snapshots (under MOR commits
+  that is exactly the refined per-batch change feed — the table can
+  re-emit its own CDC stream; under COW it is bucket-granular).
 - **Tombstones, not physical deletes.** A delete (or a refinement that
   drops a turn) becomes a ``_deleted=true`` row retaining its
   (ts, change_lsn), so late/out-of-order re-deliveries of older events
@@ -126,6 +141,13 @@ class LakeTable:
         with open(os.path.join(self._manifest_dir, f"v{v:08d}.json")) as f:
             return json.load(f)
 
+    def snapshot(self, version: int | None = None) -> dict | None:
+        """A specific retained snapshot (time travel), or the current one."""
+        if version is None:
+            return self.current_snapshot()
+        with open(os.path.join(self._manifest_dir, f"v{version:08d}.json")) as f:
+            return json.load(f)
+
     def _commit(self, manifest: dict) -> None:
         """Two-step atomic commit: immutable snapshot file (fails if a
         concurrent writer claimed the version), then pointer flip."""
@@ -149,12 +171,23 @@ class LakeTable:
 
     # ---------------- read paths ----------------
 
-    def read(self, buckets: list[int] | None = None, include_tombstones: bool = False) -> DataFrame:
-        """Read the current snapshot, pruning to ``buckets`` via the
-        manifest file list (no directory listing, no data-file scan for
-        untouched buckets)."""
-        snap = self.current_snapshot()
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_tombstones: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (current, or ``version`` for time travel),
+        pruning to ``buckets`` via the manifest file list (no directory
+        listing, no data-file scan for untouched buckets).
+
+        If the selected files include merge-on-read delta files, LWW is
+        resolved here (same hash-agg with map-side partial combine as the
+        write path — operators/cdc.lww_resolve), so readers always see
+        ≤1 row per key regardless of the commit mode used."""
+        snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"]) if snap else None
+        has_delta = False
         if snap is None or not snap["files"]:
             if schema is None:
                 raise ValueError("table has no snapshot yet")
@@ -164,6 +197,7 @@ class LakeTable:
             if buckets is not None:
                 want = set(buckets)
                 files = [f for f in files if f["bucket"] in want]
+            has_delta = any(f.get("kind", "base") == "delta" for f in files)
             if not files:
                 df = self.spark.createDataFrame([], schema)
             else:
@@ -172,9 +206,35 @@ class LakeTable:
                 # schema (absent columns -> NULL); column pruning and
                 # predicate pushdown still reach the parquet scan.
                 df = self.spark.read.schema(schema).parquet(*paths)
+        if has_delta:
+            from ..operators.cdc import lww_resolve
+
+            df = lww_resolve(df, key=KEY, order=ORDER)
         if not include_tombstones:
             df = df.where(~F.col("_deleted"))
         return df
+
+    def read_changes(self, from_version: int | None, to_version: int | None = None) -> DataFrame:
+        """Incremental scan (CDC-out, ≙ Iceberg incremental append scan):
+        the rows of data files added between two snapshots, tombstones
+        included (it is a change feed, so deletes must be visible).
+
+        Under merge-on-read commits the added files are exactly the
+        refined per-batch upserts + tombstones — the table re-emits its
+        own change stream for downstream consumers. Under copy-on-write
+        commits a rewritten bucket's file carries the whole bucket, so
+        the feed is bucket-granular (a superset of the true changes)."""
+        old = self.snapshot(from_version) if from_version else None
+        new = self.snapshot(to_version)
+        if new is None:
+            raise ValueError("table has no snapshot yet")
+        old_paths = {f["path"] for f in old["files"]} if old else set()
+        added = [f for f in new["files"] if f["path"] not in old_paths]
+        schema = T.StructType.fromJson(new["schema"])
+        if not added:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f["path"]) for f in added]
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def read_transcripts(self) -> DataFrame:
         """User-facing view: the clean transcripts table of FIXTURES.md §1."""
@@ -233,6 +293,7 @@ class LakeTable:
         hot_buckets: list[int] | None = None,
         bucket_lsn_max: dict[int, int] | None = None,
         advance_watermarks: bool = True,
+        mode: str = "cow",
     ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
@@ -241,7 +302,16 @@ class LakeTable:
         a no-op (idempotent replay). A crash before the snapshot commit
         leaves only unreferenced staging files — the rerun produces an
         identical result (deterministic content, fresh file names).
+
+        ``mode="cow"`` (default): the touched buckets' existing rows join
+        the LWW reduce and the buckets are rewritten wholly — read-optimal,
+        write cost O(touched buckets).
+        ``mode="mor"``: only the batch's own winners are written, as delta
+        files resolved at read time — write cost O(batch). Exactly-once,
+        watermark, and lineage semantics are identical in both modes.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         snap = self.current_snapshot()
         if snap and batch_id in snap["applied_batches"]:
             return {"skipped": True, "batch_id": batch_id}
@@ -278,14 +348,19 @@ class LakeTable:
         if snap:
             old_schema = T.StructType.fromJson(snap["schema"])
             new_schema = _merge_schemas(old_schema, delta_schema)
-            # replace_buckets: the delta IS the new content of the touched
-            # buckets (compaction/GC path) — don't union the old files.
-            old_files = (
-                []
-                if replace_buckets
-                else [f for f in snap["files"] if f["bucket"] in set(touched)]
-            )
-            carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
+            if mode == "mor" and not replace_buckets:
+                # merge-on-read: existing files are untouched (all carried);
+                # the batch's winners land beside them as delta files.
+                old_files, carried = [], list(snap["files"])
+            else:
+                # replace_buckets: the delta IS the new content of the touched
+                # buckets (compaction/GC path) — don't union the old files.
+                old_files = (
+                    []
+                    if replace_buckets
+                    else [f for f in snap["files"] if f["bucket"] in set(touched)]
+                )
+                carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
         else:
             new_schema, old_files, carried = delta_schema, [], []
 
@@ -366,7 +441,10 @@ class LakeTable:
             b = int(bdir.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(commit_dir, bdir))):
                 if fn.endswith(".parquet"):
-                    new_files.append({"path": f"{commit_rel}/{bdir}/{fn}", "bucket": b})
+                    entry = {"path": f"{commit_rel}/{bdir}/{fn}", "bucket": b}
+                    if mode == "mor" and not replace_buckets:
+                        entry["kind"] = "delta"
+                    new_files.append(entry)
         t_files = time.time() - t_files
 
         stats = obs.get

@@ -1,0 +1,219 @@
+"""Merge-on-read mode, time travel, incremental (CDC-out) scans.
+
+MOR commits write only the batch's refined winners as delta files (write
+cost O(batch), no bucket rewrite); ``LakeTable.read`` LWW-resolves deltas
+at read time and ``maintenance.compact`` folds them back to base files.
+Correctness bar: a MOR replay, through ``ReplayEngine.read_refined`` or
+after a fold, must equal the COW replay and the batch oracle exactly —
+including narrative-display back-fill across batches."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dibbs_ecr_refiner_spark.engine import ReplayEngine, batch_oracle, final_state_matches
+from dibbs_ecr_refiner_spark.fixtures.changelog import ChangeLogParams, generate_changes
+from dibbs_ecr_refiner_spark.lake.table import LakeTable
+from dibbs_ecr_refiner_spark.plans.config import default_plan
+
+PARAMS = ChangeLogParams(
+    n_conversations=40,
+    turns_per_conv=8,
+    n_events=2500,
+    pct_out_of_order=0.15,
+    pct_duplicates=0.08,
+    pct_deletes=0.05,
+    n_batches=5,
+)
+
+TS = dt.datetime(2026, 1, 1)
+SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, change_lsn long, "
+    "role string, text string, tool string, _deleted boolean"
+)
+
+CMP_COLS = [
+    "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    "_outcome", "_matched_code", "_matched_display",
+]
+
+
+@pytest.fixture(scope="module")
+def changes(spark):
+    df = generate_changes(spark, PARAMS).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _fresh(spark, tmp_path, name="lake"):
+    table = LakeTable(spark, str(tmp_path / name), num_buckets=8)
+    return table, ReplayEngine(spark, table, default_plan())
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, t or TS, lsn, "user", x, None, d) for (c, i, x, lsn, d, t) in rows], SCHEMA
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select(*CMP_COLS).collect())
+
+
+# ---------------- MOR replay correctness ----------------
+
+
+def test_mor_replay_matches_oracle(spark, tmp_path, changes):
+    table, eng = _fresh(spark, tmp_path)
+    stats = eng.replay(changes, mode="mor")
+    assert stats.batches == PARAMS.n_batches
+    # text/state equality straight off the resolved read
+    assert final_state_matches(table.read(), batch_oracle(changes, eng.plan))
+    # full-column equality (incl. cross-batch display back-fill) through
+    # the enrichment-recomputing view
+    assert _rows(eng.read_refined()) == _rows(batch_oracle(changes, eng.plan).select(*CMP_COLS))
+
+
+def test_mor_writes_deltas_without_rewriting_base(spark, tmp_path, changes):
+    """The write-amplification claim: after batch 2 commits in MOR mode,
+    batch 1's files are still referenced byte-identical (carried), and the
+    new files are tagged kind=delta."""
+    table, eng = _fresh(spark, tmp_path)
+    batch_ids = sorted(r[0] for r in changes.select("ingest_file").distinct().collect())
+    eng.apply_batch(changes.where(F.col("ingest_file") == batch_ids[0]), batch_ids[0], mode="mor")
+    snap1 = table.current_snapshot()
+    eng.apply_batch(changes.where(F.col("ingest_file") == batch_ids[1]), batch_ids[1], mode="mor")
+    snap2 = table.current_snapshot()
+    paths1 = {f["path"] for f in snap1["files"]}
+    paths2 = {f["path"] for f in snap2["files"]}
+    assert paths1 <= paths2, "MOR must carry every existing file untouched"
+    added = [f for f in snap2["files"] if f["path"] not in paths1]
+    assert added and all(f.get("kind") == "delta" for f in added)
+
+
+def test_mor_fold_converges_to_cow(spark, tmp_path, changes):
+    cow_table, cow_eng = _fresh(spark, tmp_path, "cow")
+    cow_eng.replay(changes)
+    mor_table, mor_eng = _fresh(spark, tmp_path, "mor")
+    mor_eng.replay(changes, mode="mor")
+    res = mor_eng.fold_deltas()
+    assert not res.get("skipped")
+    snap = mor_table.current_snapshot()
+    assert all(f.get("kind", "base") == "base" for f in snap["files"])
+    # after the fold, the plain read (no enrichment recompute needed)
+    # equals the COW replay on every column
+    assert _rows(mor_table.read()) == _rows(cow_table.read())
+
+
+def test_mor_replay_with_periodic_fold_matches_oracle(spark, tmp_path, changes):
+    table, eng = _fresh(spark, tmp_path)
+    eng.replay(changes, mode="mor", fold_every=2)
+    assert final_state_matches(table.read(), batch_oracle(changes, eng.plan))
+    assert _rows(eng.read_refined()) == _rows(batch_oracle(changes, eng.plan).select(*CMP_COLS))
+
+
+def test_mor_exactly_once_reapply(spark, tmp_path, changes):
+    table, eng = _fresh(spark, tmp_path)
+    eng.replay(changes, mode="mor")
+    snap1 = table.current_snapshot()["snapshot_id"]
+    stats2 = eng.replay(changes, mode="mor")
+    assert stats2.batches == 0 and stats2.batches_skipped == PARAMS.n_batches
+    assert table.current_snapshot()["snapshot_id"] == snap1
+
+
+# ---------------- MOR primitive semantics (direct table API) ----------------
+
+
+def test_mor_late_event_loses_at_read(spark, tmp_path):
+    """A stale redelivery committed as a LATER MOR delta must lose the
+    read-time LWW against the newer base row — and against a tombstone."""
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(
+        _delta(spark, [("c1", 0, "new", 9, False, dt.datetime(2026, 1, 2)),
+                       ("c2", 0, None, 8, True, dt.datetime(2026, 1, 2))]),
+        "b0",
+    )
+    table.merge(
+        _delta(spark, [("c1", 0, "stale", 3, False, dt.datetime(2026, 1, 1)),
+                       ("c2", 0, "zombie", 2, False, dt.datetime(2026, 1, 1))]),
+        "b1",
+        mode="mor",
+    )
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert got == {("c1", 0): "new"}
+
+
+def test_mor_upsert_and_tombstone_resolve_at_read(spark, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0")
+    table.merge(
+        _delta(spark, [("c1", 0, "v2", 5, False, dt.datetime(2026, 1, 2)),
+                       ("c1", 1, "x", 6, True, dt.datetime(2026, 1, 2))]),
+        "b1",
+        mode="mor",
+    )
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert rows == {("c1", 0): "v2"}
+    assert table.read(include_tombstones=True).count() == 2
+
+
+def test_mor_schema_evolution(spark, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0")
+    evolved = _delta(spark, [("c2", 0, "v2", 2, False, None)]).withColumn(
+        "metadata", F.lit("m-1")
+    )
+    table.merge(evolved, "b1", mode="mor")
+    out = {r["conv_id"]: r["metadata"] for r in table.read().collect()}
+    assert out == {"c1": None, "c2": "m-1"}
+    assert table.current_snapshot()["schema_version"] == 2
+
+
+# ---------------- time travel + incremental scan ----------------
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0")
+    table.merge(_delta(spark, [("c1", 0, "v2", 5, False, dt.datetime(2026, 1, 2))]), "b1")
+    assert [r["text"] for r in table.read(version=1).collect()] == ["v1"]
+    assert [r["text"] for r in table.read().collect()] == ["v2"]
+
+
+def test_incremental_scan_is_exact_under_mor(spark, tmp_path, changes):
+    """Between consecutive MOR snapshots, read_changes emits exactly the
+    batch's refined winners (upserts + tombstones) — the table's own CDC
+    output feed."""
+    table, eng = _fresh(spark, tmp_path)
+    batch_ids = sorted(r[0] for r in changes.select("ingest_file").distinct().collect())
+    eng.apply_batch(changes.where(F.col("ingest_file") == batch_ids[0]), batch_ids[0], mode="mor")
+    v1 = table.current_snapshot()["snapshot_id"]
+    eng.apply_batch(changes.where(F.col("ingest_file") == batch_ids[1]), batch_ids[1], mode="mor")
+    v2 = table.current_snapshot()["snapshot_id"]
+
+    feed = table.read_changes(v1, v2)
+    # the feed is exactly batch 2's prepared winners (LWW + refine +
+    # batch-local enrichment — what the MOR commit wrote), tombstones
+    # included; lineage's rows_upserted counts raw applied *events*
+    # (pre-LWW), so compare content, not the event count
+    from dibbs_ecr_refiner_spark.engine import prepare_delta
+
+    want = prepare_delta(changes.where(F.col("ingest_file") == batch_ids[1]), eng.plan)
+    key_cols = ["conv_id", "turn_idx", "text", "change_lsn", "_deleted"]
+    got_rows = sorted(tuple(r) for r in feed.select(*key_cols).collect())
+    want_rows = sorted(tuple(r) for r in want.select(*key_cols).collect())
+    assert got_rows == want_rows
+    assert feed.groupBy("conv_id", "turn_idx").count().where("count > 1").isEmpty()
+    lin = {r["batch_id"]: r for r in table.lineage().collect()}
+    lo, hi = lin[batch_ids[1]]["lsn_min"], lin[batch_ids[1]]["lsn_max"]
+    assert feed.where((F.col("change_lsn") < lo) | (F.col("change_lsn") > hi)).isEmpty()
+    # tombstones are visible in the feed
+    assert feed.where(F.col("_deleted")).count() > 0
+
+
+def test_incremental_scan_from_none_is_full_table(spark, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0")
+    assert table.read_changes(None).count() == 1
