@@ -56,6 +56,20 @@ REPLAY_PARAMS = dict(
 )
 
 
+def _du(path: str) -> int:
+    """Total bytes under ``path``. COW never deletes superseded commit dirs
+    during a replay, so data-dir size == total bytes physically written —
+    the write-amplification evidence for the COW-vs-MOR comparison."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+            except OSError:
+                pass
+    return total
+
+
 def _sf_label(path: str) -> float:
     try:
         return float(path.rstrip("/").rsplit("sf", 1)[1])
@@ -171,6 +185,7 @@ def main_bench() -> None:
             "seconds": round(replay_sec, 3),
             "events_per_sec": round(n_events / replay_sec, 1),
             "batches": stats.batches,
+            "bytes_written": _du(os.path.join(work, "lake", "data")),
         }
 
         # Same log in merge-on-read mode: each batch commits only its own
@@ -180,6 +195,7 @@ def main_bench() -> None:
         t0 = time.time()
         mor_stats, mor_eng = _replay(spark, log_path, os.path.join(work, "lake_mor"), mode="mor")
         mor_sec = time.time() - t0
+        mor_ingest_bytes = _du(os.path.join(work, "lake_mor", "data"))
         t0 = time.time()
         mor_eng.fold_deltas()
         fold_sec = time.time() - t0
@@ -192,6 +208,58 @@ def main_bench() -> None:
             "fold_seconds": round(fold_sec, 3),
             "events_per_sec_incl_fold": round(n_events / (mor_sec + fold_sec), 1),
             "batches": mor_stats.batches,
+            "bytes_written_ingest": mor_ingest_bytes,
+            "bytes_written_incl_fold": _du(os.path.join(work, "lake_mor", "data")),
+        }
+
+        # Steady-state CDC apply — the north-star regime (table ≫ batch):
+        # a follow-up log 1/10th the size, in 8 small batches, applied to
+        # the tables both modes just built (identical content post-fold).
+        # COW rewrites every touched bucket per batch regardless of batch
+        # size; MOR writes O(batch). This ratio, not the fresh-table
+        # replay, is what 10^10-events-into-an-existing-table looks like.
+        from dibbs_ecr_refiner_spark.fixtures.changelog import (
+            ChangeLogParams,
+            write_changes,
+        )
+
+        ss_events = REPLAY_EVENTS // 10
+        log2 = os.path.join(work, "changelog_ss")
+        write_changes(
+            spark,
+            log2,
+            ChangeLogParams(
+                **dict(
+                    REPLAY_PARAMS,
+                    n_events=ss_events,
+                    base_lsn=REPLAY_EVENTS + 1_000_000,
+                    batch_prefix="ss",
+                )
+            ),
+        )
+        cow_b0 = _du(os.path.join(work, "lake", "data"))
+        t0 = time.time()
+        _replay(spark, log2, os.path.join(work, "lake"))
+        ss_cow_sec = time.time() - t0
+        cow_bytes = _du(os.path.join(work, "lake", "data")) - cow_b0
+        mor_b0 = _du(os.path.join(work, "lake_mor", "data"))
+        t0 = time.time()
+        _replay(spark, log2, os.path.join(work, "lake_mor"), mode="mor")
+        ss_mor_sec = time.time() - t0
+        mor_bytes = _du(os.path.join(work, "lake_mor", "data")) - mor_b0
+        cdc["steady_state"] = {
+            "events": ss_events,
+            "cow": {
+                "seconds": round(ss_cow_sec, 3),
+                "events_per_sec": round(ss_events / ss_cow_sec, 1),
+                "bytes_written": cow_bytes,
+            },
+            "mor": {
+                "seconds": round(ss_mor_sec, 3),
+                "events_per_sec": round(ss_events / ss_mor_sec, 1),
+                "bytes_written": mor_bytes,
+            },
+            "write_amplification_cow_over_mor": round(cow_bytes / max(mor_bytes, 1), 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -50,6 +50,10 @@ class ChangeLogParams:
     files_per_batch: int = 16       # a real WAL tail delivers many files
     with_items: bool = False        # emit the optional sub-items column (P4)
     seed: int = 42
+    base_lsn: int = 0               # LSN/ts offset: a follow-up log strictly
+                                    # after an earlier one (steady-state CDC)
+    batch_prefix: str = "batch"     # distinct batch ids per log (the
+                                    # applied-batches registry is id-keyed)
 
 
 def _u01(col, seed_col_salt: int, seed: int):
@@ -115,7 +119,9 @@ def generate_changes(spark: SparkSession, params: ChangeLogParams | None = None)
         u_ooo < p.pct_out_of_order,
         (F.pmod(F.xxhash64(F.col("e"), F.lit(s + 7)), F.lit(2 * p.ooo_window_secs)) - p.ooo_window_secs),
     ).otherwise(F.lit(0))
-    ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(secs=(F.col("e") + jitter).cast("double"))
+    ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(
+        secs=(F.col("e") + p.base_lsn + jitter).cast("double")
+    )
 
     evo_lsn = int(p.n_events * p.schema_evolution_frac)
     extra = F.when(
@@ -127,7 +133,7 @@ def generate_changes(spark: SparkSession, params: ChangeLogParams | None = None)
     ).otherwise(F.create_map(F.lit("src"), F.lit("gen")))
 
     batch_size = max(1, (p.n_events + p.n_batches - 1) // p.n_batches)
-    ingest_file = F.format_string("batch-%05d", (F.col("e") / batch_size).cast("int"))
+    ingest_file = F.format_string(f"{p.batch_prefix}-%05d", (F.col("e") / batch_size).cast("int"))
 
     is_delete = op == "delete"
 
@@ -159,7 +165,7 @@ def generate_changes(spark: SparkSession, params: ChangeLogParams | None = None)
         F.when(is_delete, F.lit(None).cast("string")).otherwise(text).alias("text"),
         F.when(is_delete, F.lit(None).cast("string")).otherwise(tool).alias("tool"),
         ts.alias("ts"),
-        F.col("e").alias("change_lsn"),
+        (F.col("e") + p.base_lsn).alias("change_lsn"),
         ingest_file.alias("ingest_file"),
         extra.alias("extra"),
         *items_cols,

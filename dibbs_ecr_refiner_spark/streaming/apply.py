@@ -54,13 +54,17 @@ def stream_replay(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    mode: str = "cow",
+    fold_every: int | None = None,
 ):
     """Tail ``log_path`` as a stream and MERGE each micro-batch.
 
     With ``available_now=True`` the query drains everything currently in
     the log and stops (the batch-replay analog, good for tests/backfill);
-    with False it runs continuously.
-    """
+    with False it runs continuously. ``mode="mor"`` commits each
+    micro-batch as delta files (the low-latency choice: commit cost is
+    O(micro-batch), independent of table size), with an optional fold
+    every ``fold_every`` epochs."""
     reader = spark.readStream.schema(CHANGE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -69,7 +73,13 @@ def stream_replay(
     eng = ReplayEngine(spark, table, plan)
 
     def handle(df, epoch_id: int):
-        eng.apply_batch(df, f"epoch-{epoch_id:08d}")
+        res = eng.apply_batch(df, f"epoch-{epoch_id:08d}", mode=mode)
+        if (
+            fold_every
+            and not res.get("skipped")
+            and (epoch_id + 1) % fold_every == 0
+        ):
+            eng.fold_deltas()
 
     writer = changes.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -159,6 +159,32 @@ def test_mor_upsert_and_tombstone_resolve_at_read(spark, tmp_path):
     assert table.read(include_tombstones=True).count() == 2
 
 
+def test_cow_merge_after_mor_folds_touched_buckets(spark, tmp_path):
+    """Mixed modes: a COW merge touching a bucket with pending MOR deltas
+    unions base + delta rows into its LWW, rewrites the bucket, and drops
+    the superseded delta files from the manifest — modes interleave freely
+    per batch."""
+    from dibbs_ecr_refiner_spark.lake.table import bucket_expr
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "base", 1, False, None)]), "b0")
+    table.merge(
+        _delta(spark, [("c1", 1, "from-delta", 2, False, None)]), "b1", mode="mor"
+    )
+    assert any(f.get("kind") == "delta" for f in table.current_snapshot()["files"])
+    # COW batch touching c1's bucket
+    table.merge(
+        _delta(spark, [("c1", 2, "cow", 3, False, dt.datetime(2026, 1, 2))]), "b2"
+    )
+    b = spark.createDataFrame([("c1",)], "conv_id string").select(bucket_expr(4)).collect()[0][0]
+    snap = table.current_snapshot()
+    assert not any(
+        f.get("kind") == "delta" for f in snap["files"] if f["bucket"] == b
+    ), "COW rewrite must supersede the bucket's delta files"
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert got == {("c1", 0): "base", ("c1", 1): "from-delta", ("c1", 2): "cow"}
+
+
 def test_mor_schema_evolution(spark, tmp_path):
     table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
     table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0")

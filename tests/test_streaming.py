@@ -48,6 +48,26 @@ def test_stream_replay_matches_batch_oracle(spark, tmp_path, log_dir):
     assert len(table.current_snapshot()["applied_batches"]) >= 2
 
 
+def test_stream_replay_mor_with_fold_matches_batch_oracle(spark, tmp_path, log_dir):
+    """Low-latency streaming mode: each micro-batch commits as MOR delta
+    files (commit cost independent of table size), folding every 2 epochs;
+    final state still equals the batch oracle."""
+    table = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
+    q = stream_replay(
+        spark,
+        log_dir,
+        table,
+        default_plan(),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        mode="mor",
+        fold_every=2,
+    )
+    q.awaitTermination(300)
+    changes = spark.read.parquet(log_dir)
+    assert final_state_matches(table.read(), batch_oracle(changes, default_plan()))
+
+
 def test_stream_restart_is_exactly_once(spark, tmp_path, log_dir):
     table = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
     ckpt = str(tmp_path / "ckpt")
