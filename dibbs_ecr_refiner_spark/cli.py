@@ -82,6 +82,16 @@ def cmd_compact(args) -> dict:
     return {"cmd": "compact", "gc_below": gc_below, **{k: v for k, v in res.items() if k != "seconds"}}
 
 
+def cmd_rebucket(args) -> dict:
+    from dibbs_ecr_refiner_spark.lake.maintenance import rebucket
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    res = rebucket(table, args.to_buckets)
+    return {"cmd": "rebucket", **{k: v for k, v in res.items() if k != "seconds"}}
+
+
 def cmd_changes(args) -> dict:
     """Incremental scan (CDC-out): summarize rows added between snapshots."""
     from pyspark.sql import functions as F
@@ -199,6 +209,10 @@ def main(argv=None) -> int:
     e.add_argument("--config", required=True)
     e.add_argument("--limit", type=int, default=10)
 
+    rb = sub.add_parser("rebucket", help="partition evolution: rewrite under a new bucket count")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-buckets", type=int, required=True)
+
     ch = sub.add_parser("changes", help="incremental scan: rows added between snapshots")
     ch.add_argument("--table", required=True)
     ch.add_argument("--buckets", type=int, default=64)
@@ -215,6 +229,7 @@ def main(argv=None) -> int:
         "gc": cmd_gc,
         "events": cmd_events,
         "changes": cmd_changes,
+        "rebucket": cmd_rebucket,
     }[args.cmd](args)
     print(json.dumps(out))
     return 0

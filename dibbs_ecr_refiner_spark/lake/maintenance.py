@@ -136,6 +136,71 @@ def gc_orphans(table: LakeTable, min_age_sec: float = 3600.0) -> dict:
     return {"removed_dirs": removed_dirs, "removed_files": removed_files}
 
 
+def rebucket(table: LakeTable, new_num_buckets: int, post=None) -> dict:
+    """Partition evolution (≙ Iceberg partition-spec evolution): rewrite
+    the table under a new ``num_buckets``. A bucket count sized for 1 TB
+    strangles a 100 TB table (each MERGE's per-bucket files grow without
+    bound, hot buckets stop splitting), so the count must be able to grow
+    with the table. One full-table rewrite, like Iceberg's — but a single
+    snapshot commit, atomically switching readers and writers to the new
+    layout; pending MOR deltas are resolved and folded in on the way.
+
+    Watermarks: old per-bucket watermarks are keyed by dead bucket ids;
+    every new bucket inherits the MINIMUM old watermark (each new bucket
+    mixes rows from many old buckets, so the only claim that stays true
+    per-bucket is the weakest one — conservative, GC-safe: min_safe_gc_lsn
+    is unchanged by the rewrite)."""
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"skipped": True, "reason": "no snapshot"}
+    if int(new_num_buckets) == table.num_buckets:
+        return {"skipped": True, "reason": "same bucket count"}
+    old_buckets = sorted({f["bucket"] for f in snap["files"]})
+    if not old_buckets:
+        return {"skipped": True, "reason": "empty table"}
+
+    df = table.read(include_tombstones=True)
+    if post is not None:
+        df = post(df)
+    wm_vals = [int(v) for v in snap["watermarks"].values()]
+    floor_wm = min(wm_vals) if wm_vals else -1
+    new_wm = {str(b): floor_wm for b in range(int(new_num_buckets))}
+
+    old_n = table.num_buckets
+    table.num_buckets = int(new_num_buckets)
+    try:
+        res = table.merge(
+            df,
+            batch_id=f"rebucket-{snap['snapshot_id']}-{old_n}to{new_num_buckets}",
+            touched_buckets=old_buckets,
+            replace_buckets=True,
+            advance_watermarks=False,
+            watermarks_override=new_wm,
+        )
+    except Exception:
+        table.num_buckets = old_n
+        raise
+    res["num_buckets"] = int(new_num_buckets)
+    return res
+
+
+def should_fold(table: LakeTable, max_deltas_per_bucket: int = 8) -> list[int]:
+    """Fold-scheduling policy for merge-on-read tables: the buckets whose
+    pending delta-file count exceeds the threshold. Read-time merge cost
+    grows with deltas per bucket (every read of the bucket re-reduces
+    them), so a bounded threshold bounds read amplification; the caller
+    compacts exactly these buckets (``compact(table, buckets=...)``)
+    instead of sweeping the whole table."""
+    snap = table.current_snapshot()
+    if snap is None:
+        return []
+    deltas: dict[int, int] = {}
+    for f in snap["files"]:
+        if f.get("kind", "base") == "delta":
+            deltas[f["bucket"]] = deltas.get(f["bucket"], 0) + 1
+    return sorted(b for b, n in deltas.items() if n > max_deltas_per_bucket)
+
+
 def min_safe_gc_lsn(table: LakeTable) -> int | None:
     """Highest LSN safely GC-able: the minimum committed per-bucket
     high-watermark (no replay can deliver an uncommitted event at or below

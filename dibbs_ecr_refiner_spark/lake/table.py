@@ -85,8 +85,9 @@ class IncompatibleSchemaChange(Exception):
     """A delta changed an existing column's type — hard fail on commit."""
 
 
-def bucket_expr(num_buckets: int, col: str = "conv_id"):
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
+def bucket_expr(num_buckets: int, col: str | None = "conv_id", lit: str | None = None):
+    src = F.lit(lit) if col is None else F.col(col)
+    return F.pmod(F.xxhash64(src), F.lit(num_buckets)).cast("int")
 
 
 def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
@@ -236,6 +237,23 @@ class LakeTable:
         paths = [os.path.join(self.root, f["path"]) for f in added]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def bucket_of(self, conv_id: str) -> int:
+        """The bucket a conversation lives in (same xxhash64 as the write
+        path — computed through Spark so the two can never drift)."""
+        return int(
+            self.spark.range(1)
+            .select(bucket_expr(self.num_buckets, col=None, lit=conv_id))
+            .collect()[0][0]
+        )
+
+    def read_conversation(self, conv_id: str, include_tombstones: bool = False) -> DataFrame:
+        """Point lookup: manifest bucket pruning (hash the key, read only
+        that bucket's files) + a pushed-down conv_id filter — O(bucket),
+        not O(table). The common operational query ('show me this
+        conversation') at 100 TB."""
+        df = self.read(buckets=[self.bucket_of(conv_id)], include_tombstones=include_tombstones)
+        return df.where(F.col("conv_id") == F.lit(conv_id))
+
     def read_transcripts(self) -> DataFrame:
         """User-facing view: the clean transcripts table of FIXTURES.md §1."""
         return self.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -294,6 +312,7 @@ class LakeTable:
         bucket_lsn_max: dict[int, int] | None = None,
         advance_watermarks: bool = True,
         mode: str = "cow",
+        watermarks_override: dict[str, int] | None = None,
     ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
@@ -460,8 +479,15 @@ class LakeTable:
         # batches commit in contiguous LSN order. Maintenance rewrites
         # (compaction) pass advance_watermarks=False: rewriting old content
         # applies no new events.
-        watermarks = dict(snap["watermarks"]) if snap else {}
-        if stats["n"] and advance_watermarks:
+        # watermarks_override: the caller rewrites the whole mapping — used
+        # by maintenance.rebucket, where old bucket ids stop meaning
+        # anything and every new bucket inherits a conservative watermark.
+        watermarks = (
+            dict(watermarks_override)
+            if watermarks_override is not None
+            else (dict(snap["watermarks"]) if snap else {})
+        )
+        if stats["n"] and advance_watermarks and watermarks_override is None:
             for b in touched:
                 applied_lsn = (
                     bucket_lsn_max.get(b, int(stats["lsn_max"]))

@@ -97,6 +97,19 @@ def test_read_prunes_by_bucket(spark, tmp_path):
     assert pruned.count() < 40
 
 
+def test_read_conversation_point_lookup(spark, tmp_path):
+    """Point lookup prunes to one bucket via the manifest and returns
+    exactly the conversation's live rows."""
+    rows = [(f"c{i}", j, f"t{i}:{j}", i * 10 + j, False, None) for i in range(20) for j in range(2)]
+    table = mk(spark, tmp_path, rows, buckets=8)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read_conversation("c7").collect()}
+    assert got == {("c7", 0): "t7:0", ("c7", 1): "t7:1"}
+    # bucket_of agrees with the write path's bucket assignment
+    b = table.bucket_of("c7")
+    snap = table.current_snapshot()
+    assert any(f["bucket"] == b for f in snap["files"])
+
+
 def test_schema_evolution_adds_column(spark, tmp_path):
     table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
     evolved = _delta(spark, [("c2", 0, "v2", 2, False, None)]).withColumn(

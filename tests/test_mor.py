@@ -197,6 +197,80 @@ def test_mor_schema_evolution(spark, tmp_path):
     assert table.current_snapshot()["schema_version"] == 2
 
 
+def test_should_fold_policy_bounds_read_amplification(spark, tmp_path, changes):
+    """should_fold names exactly the buckets whose pending delta-file count
+    exceeds the threshold; compacting those (and only those) clears them."""
+    from dibbs_ecr_refiner_spark.lake.maintenance import compact, should_fold
+
+    table, eng = _fresh(spark, tmp_path)
+    eng.replay(changes, mode="mor")
+    over = should_fold(table, max_deltas_per_bucket=2)
+    assert over, "5 MOR batches over 8 buckets must exceed 2 deltas somewhere"
+    compact(table, buckets=over)
+    assert should_fold(table, max_deltas_per_bucket=2) == []
+    # untargeted buckets keep their (<=2) deltas — the fold was surgical
+    snap = table.current_snapshot()
+    remaining = {f["bucket"] for f in snap["files"] if f.get("kind") == "delta"}
+    assert remaining.isdisjoint(over)
+
+
+# ---------------- partition evolution ----------------
+
+
+def test_rebucket_preserves_state_and_lww_continuity(spark, tmp_path, changes):
+    """Rebucket 8→16 under live data (pending MOR deltas included): state
+    is unchanged, the manifest flips num_buckets atomically, per-bucket
+    watermark floor survives, and a later update to an existing key still
+    wins LWW (the new bucket mapping unions the key's rows correctly)."""
+    from dibbs_ecr_refiner_spark.lake.maintenance import min_safe_gc_lsn, rebucket
+
+    table, eng = _fresh(spark, tmp_path)
+    eng.replay(changes, mode="mor")  # leaves pending deltas
+    before = _rows(eng.read_refined())
+    gc_before = min_safe_gc_lsn(table)
+
+    res = rebucket(table, 16)
+    assert res["num_buckets"] == 16 and not res.get("skipped")
+    snap = table.current_snapshot()
+    assert snap["num_buckets"] == 16
+    assert all(f.get("kind", "base") == "base" for f in snap["files"])
+    assert {int(k) for k in snap["watermarks"]} == set(range(16))
+    assert min_safe_gc_lsn(table) == gc_before
+    assert _rows(eng.read_refined()) == before
+
+    # reopened handle picks up the new bucketing; an upsert to an existing
+    # key must still union that key's rows (LWW continuity across layouts)
+    reopened = LakeTable(spark, str(tmp_path / "lake"))
+    assert reopened.num_buckets == 16
+    probe = before[0]
+    conv, turn = probe[0], probe[1]
+    reopened.merge(
+        _delta(spark, [(conv, turn, "post-rebucket", 99_999_999, False,
+                        dt.datetime(2027, 1, 1))]),
+        "after-rebucket",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in reopened.read().where(
+            (F.col("conv_id") == conv) & (F.col("turn_idx") == turn)
+        ).collect()
+    }
+    assert got == {(conv, turn): "post-rebucket"}
+    # exactly one row for the key — no duplicate from the old layout
+    assert (
+        reopened.read(include_tombstones=True)
+        .groupBy("conv_id", "turn_idx").count().where("count > 1").isEmpty()
+    )
+
+
+def test_rebucket_same_count_is_noop(spark, tmp_path):
+    from dibbs_ecr_refiner_spark.lake.maintenance import rebucket
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v", 1, False, None)]), "b0")
+    assert rebucket(table, 4).get("skipped")
+
+
 # ---------------- time travel + incremental scan ----------------
 
 

@@ -57,6 +57,32 @@ def test_lww_agg_is_partial_aggregation_not_sort(spark):
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
 
 
+def test_mor_read_resolves_with_partial_agg(spark, tmp_path):
+    """The merge-on-read resolve must keep the property that makes LWW
+    scale: a partial reduce before the exchange (hot keys combine
+    map-side), and no Window/global sort in the plan."""
+    import datetime as dt
+
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    schema = (
+        "conv_id string, turn_idx int, ts timestamp, change_lsn long, "
+        "role string, text string, tool string, _deleted boolean"
+    )
+    rows = [("c1", 0, dt.datetime(2026, 1, 1), 1, "user", "a", None, False)]
+    table.merge(spark.createDataFrame(rows, schema), "b0")
+    rows2 = [("c1", 0, dt.datetime(2026, 1, 2), 2, "user", "b", None, False)]
+    table.merge(spark.createDataFrame(rows2, schema), "b1", mode="mor")
+
+    plan = _explain(table.read(), "simple")
+    assert "Window" not in plan
+    # partial + final max_by reduce (SortAggregate carries the struct
+    # buffer; what matters is the partial stage before the exchange)
+    assert plan.count("SortAggregate") >= 2 or plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+
+
 def test_refine_pass_has_no_python_eval(spark):
     changes = generate_changes(
         spark, ChangeLogParams(n_conversations=10, turns_per_conv=2, n_events=200, n_batches=1)
