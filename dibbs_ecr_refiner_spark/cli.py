@@ -82,6 +82,15 @@ def cmd_compact(args) -> dict:
     return {"cmd": "compact", "gc_below": gc_below, **{k: v for k, v in res.items() if k != "seconds"}}
 
 
+def cmd_expire(args) -> dict:
+    from dibbs_ecr_refiner_spark.lake.maintenance import expire_snapshots
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    return {"cmd": "expire", **expire_snapshots(table, keep_last=args.keep_last)}
+
+
 def cmd_rebucket(args) -> dict:
     from dibbs_ecr_refiner_spark.lake.maintenance import rebucket
     from dibbs_ecr_refiner_spark.lake.table import LakeTable
@@ -209,6 +218,10 @@ def main(argv=None) -> int:
     e.add_argument("--config", required=True)
     e.add_argument("--limit", type=int, default=10)
 
+    ex = sub.add_parser("expire", help="expire old snapshots (bound the time-travel horizon)")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--keep-last", type=int, default=5)
+
     rb = sub.add_parser("rebucket", help="partition evolution: rewrite under a new bucket count")
     rb.add_argument("--table", required=True)
     rb.add_argument("--to-buckets", type=int, required=True)
@@ -230,6 +243,7 @@ def main(argv=None) -> int:
         "events": cmd_events,
         "changes": cmd_changes,
         "rebucket": cmd_rebucket,
+        "expire": cmd_expire,
     }[args.cmd](args)
     print(json.dumps(out))
     return 0

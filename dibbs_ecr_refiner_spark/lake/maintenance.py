@@ -84,17 +84,63 @@ def compact(
     return res
 
 
+def expire_snapshots(table: LakeTable, keep_last: int = 5) -> dict:
+    """Bound the time-travel horizon (≙ Iceberg expire_snapshots): delete
+    manifest files older than the newest ``keep_last``, never the current.
+    Data files that only expired snapshots referenced become orphans and
+    are reclaimed by the next ``gc_orphans`` (which scans every RETAINED
+    manifest, so retained history stays readable)."""
+    import os
+    import re
+
+    cur = table._current_version()
+    if cur is None:
+        return {"expired": 0}
+    expired = 0
+    for fn in sorted(os.listdir(table._manifest_dir)):
+        m = re.fullmatch(r"v(\d{8})\.json", fn)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v != cur and v <= cur - keep_last:
+            os.remove(os.path.join(table._manifest_dir, fn))
+            expired += 1
+    return {"expired": expired, "keep_last": keep_last, "current": cur}
+
+
+def _retained_references(table: LakeTable) -> set[str]:
+    """Every data-file path referenced by ANY retained manifest. GC must
+    honor the full retained history, not just the current snapshot —
+    otherwise compaction + GC would tear files out from under time travel
+    (``read(version=...)``) and incremental scans."""
+    import json
+    import os
+    import re
+
+    refs: set[str] = set()
+    for fn in os.listdir(table._manifest_dir):
+        if not re.fullmatch(r"v\d{8}\.json", fn):
+            continue
+        try:
+            with open(os.path.join(table._manifest_dir, fn)) as f:
+                snap = json.load(f)
+            refs.update(f_["path"] for f_ in snap["files"])
+        except (OSError, json.JSONDecodeError):
+            continue
+    return refs
+
+
 def gc_orphans(table: LakeTable, min_age_sec: float = 3600.0) -> dict:
-    """Remove data files not referenced by the current snapshot: commit dirs
-    orphaned by a crash before commit or by a SnapshotConflict loser, stale
-    staging dirs, and data files superseded by compaction. ``min_age_sec``
-    guards in-flight writers (an uncommitted dir younger than the horizon is
-    left alone). ≙ Iceberg's remove_orphan_files."""
+    """Remove data files not referenced by any retained snapshot: commit
+    dirs orphaned by a crash before commit or by a SnapshotConflict loser,
+    stale staging dirs, and data files whose only referencing snapshots
+    were expired (``expire_snapshots``). ``min_age_sec`` guards in-flight
+    writers (an uncommitted dir younger than the horizon is left alone).
+    ≙ Iceberg's remove_orphan_files."""
     import os
     import shutil
 
-    snap = table.current_snapshot()
-    referenced = {f["path"] for f in snap["files"]} if snap else set()
+    referenced = _retained_references(table)
     now = time.time()
     removed_dirs, removed_files = 0, 0
 

@@ -317,3 +317,36 @@ def test_incremental_scan_from_none_is_full_table(spark, tmp_path):
     table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
     table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0")
     assert table.read_changes(None).count() == 1
+
+
+# ---------------- snapshot retention ----------------
+
+
+def test_gc_preserves_time_travel_until_expiry(spark, tmp_path):
+    """gc_orphans honors every RETAINED manifest: files superseded by a
+    rewrite stay on disk while an old snapshot still references them; after
+    expire_snapshots they are reclaimed."""
+    from dibbs_ecr_refiner_spark.lake.maintenance import expire_snapshots, gc_orphans
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0")
+    table.merge(_delta(spark, [("c1", 0, "v2", 5, False, dt.datetime(2026, 1, 2))]), "b1")
+    table.merge(_delta(spark, [("c1", 0, "v2", 9, False, dt.datetime(2026, 1, 3))]), "b2")
+    # each COW merge rewrote c1's bucket: history v1, v2, v3 with
+    # superseded files still on disk
+
+    gc_orphans(table, min_age_sec=0.0)
+    # time travel to every retained snapshot still works after GC
+    assert [r["text"] for r in table.read(version=1).collect()] == ["v1"]
+    assert [r["text"] for r in table.read(version=2).collect()] == ["v2"]
+
+    res = expire_snapshots(table, keep_last=1)
+    assert res["expired"] == 2
+    reclaimed = gc_orphans(table, min_age_sec=0.0)
+    assert reclaimed["removed_dirs"] + reclaimed["removed_files"] > 0
+    # current state intact; expired history gone
+    assert [r["text"] for r in table.read().collect()] == ["v2"]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        table.read(version=1)
