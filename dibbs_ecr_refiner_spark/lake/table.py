@@ -81,6 +81,25 @@ class SnapshotConflict(Exception):
     """Concurrent commit detected (snapshot file already exists)."""
 
 
+def merge_with_retry(table: "LakeTable", delta: DataFrame, batch_id: str, retries: int = 3, **kw) -> dict:
+    """Optimistic-concurrency retry loop for multi-writer deployments
+    (≙ Iceberg's commit retry): on SnapshotConflict the merge re-reads the
+    now-current snapshot and re-runs — correct because ``merge`` derives
+    everything (old files, schema, watermarks, applied registry) from the
+    snapshot it reads at entry, and the loser's data files live in a
+    uuid-token commit dir that can never collide with the winner's. If the
+    winning commit was this very batch_id (a retried duplicate delivery
+    racing itself), the re-run returns skipped. Retries are cheap in MOR
+    mode (no bucket rewrite to redo)."""
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        try:
+            return table.merge(delta, batch_id, **kw)
+        except SnapshotConflict as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
 class IncompatibleSchemaChange(Exception):
     """A delta changed an existing column's type — hard fail on commit."""
 

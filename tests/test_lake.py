@@ -252,6 +252,32 @@ def test_concurrent_writer_loser_cannot_clobber_winner(spark, tmp_path):
     assert got == {("c1", 0): "base", ("c1", 1): "winner"}
 
 
+def test_merge_with_retry_recovers_from_conflict(spark, tmp_path):
+    """Optimistic concurrency: a writer that loses the snapshot race
+    retries against the new current snapshot and lands its batch on top of
+    the winner's — both batches' rows survive."""
+    from dibbs_ecr_refiner_spark.lake.table import merge_with_retry
+
+    table = mk(spark, tmp_path, [("c1", 0, "base", 1, False, None)])
+    stale = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    stale_snap = stale.current_snapshot()
+    # a concurrent winner claims snapshot 2 out from under `stale`
+    table.merge(_delta(spark, [("c2", 0, "winner", 2, False, None)]), "winner")
+    # first merge() attempt reads the stale snapshot once, then retries
+    calls = {"n": 0}
+    real = stale.current_snapshot
+
+    def flaky():
+        calls["n"] += 1
+        return stale_snap if calls["n"] == 1 else real()
+
+    stale.current_snapshot = flaky
+    res = merge_with_retry(stale, _delta(spark, [("c3", 0, "retried", 3, False, None)]), "loser")
+    assert res["snapshot_id"] == 3 and not res.get("skipped")
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert got == {"c1": "base", "c2": "winner", "c3": "retried"}
+
+
 def test_num_buckets_comes_from_manifest(spark, tmp_path):
     table = mk(spark, tmp_path, [("c1", 0, "x", 1, False, None)], buckets=4)
     reopened = LakeTable(spark, str(tmp_path / "t"), num_buckets=64)
