@@ -289,6 +289,45 @@ class LakeTable:
             .select("conv_id", "turn_idx", "role", "_outcome", "ts", "change_lsn")
         )
 
+    def history(self) -> DataFrame:
+        """Snapshot-chain metadata table (≙ Iceberg ``history``/
+        ``snapshots``): one row per retained snapshot, from the immutable
+        manifest files — driver-side metadata only, no data-file reads."""
+        import re
+
+        rows = []
+        for fn in sorted(os.listdir(self._manifest_dir)):
+            if not re.fullmatch(r"v\d{8}\.json", fn):
+                continue
+            with open(os.path.join(self._manifest_dir, fn)) as f:
+                s = json.load(f)
+            n_delta = sum(1 for x in s["files"] if x.get("kind", "base") == "delta")
+            rows.append(
+                (
+                    s["snapshot_id"],
+                    s["parent_id"],
+                    float(s["committed_at"]),
+                    s["schema_version"],
+                    s["num_buckets"],
+                    len(s["files"]),
+                    n_delta,
+                    len(s["applied_batches"]),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, parent_id int, committed_at double, schema_version int, "
+            "num_buckets int, n_files int, n_delta_files int, n_batches_applied int",
+        )
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """Data-file metadata table for a snapshot (≙ Iceberg ``files``)."""
+        snap = self.snapshot(version)
+        rows = [
+            (f["path"], f["bucket"], f.get("kind", "base")) for f in (snap["files"] if snap else [])
+        ]
+        return self.spark.createDataFrame(rows, "path string, bucket int, kind string")
+
     def lineage(self) -> DataFrame:
         """Per-batch lineage records from the manifest chain (≙ the
         _lineage table of SURVEY.md §7 item 7)."""

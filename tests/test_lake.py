@@ -165,6 +165,19 @@ def test_manifest_is_valid_json_chain(spark, tmp_path):
     assert [r["batch_id"] for r in lin] == ["b0", "b1"]
 
 
+def test_metadata_tables_history_and_files(spark, tmp_path):
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    table.merge(_delta(spark, [("c2", 0, "d", 2, False, None)]), "b1", mode="mor")
+    hist = {r["snapshot_id"]: r for r in table.history().collect()}
+    assert set(hist) == {1, 2}
+    assert hist[2]["parent_id"] == 1 and hist[2]["n_delta_files"] > 0
+    assert hist[1]["n_delta_files"] == 0
+    files_now = table.files().collect()
+    assert {r["kind"] for r in files_now} == {"base", "delta"}
+    files_v1 = table.files(version=1).collect()
+    assert all(r["kind"] == "base" for r in files_v1)
+
+
 def test_read_remainder_view(spark, tmp_path):
     """Remainder = reportable-but-not-refined turns (≙ remainder RRs)."""
     from dibbs_ecr_refiner_spark.engine import ReplayEngine
