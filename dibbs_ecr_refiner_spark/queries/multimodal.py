@@ -7,7 +7,11 @@ Spark-side plumbing — schema, batch iteration, partitioning, UDF signature —
 is real and is what the operator actually exercises. Swap ``_decode_stub``
 for a real decoder (PIL/ffmpeg) in production.
 
-Oracle: rows-only (the decode is engine-internal, not SQL-expressible).
+Oracles: ``mm_decode_stub`` is rows-only (its feature vector is
+engine-internal), but the resize/frame-sample/chunking plumbing ops are
+FULLY oracled — the fake decode is a deterministic integer function of the
+payload byte length, so DuckDB recomputes the exact rows and the driver
+hash-checks them.
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QUERIES = {}
-ORACLES = {}  # intentionally empty: rows-only checks
+ORACLES = {}  # mm_decode_stub stays rows-only; the plumbing ops register full oracles
 
 
 OUT_SCHEMA = (
@@ -81,3 +85,150 @@ def mm_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["mm_decode_stub"] = mm_decode_stub
+
+
+# ---------------------------------------------------------------------------
+# Fully-oracled plumbing ops: the fake decode is a DETERMINISTIC integer
+# function of the payload byte length, so DuckDB can recompute the exact
+# output — upgrading these from rows-only to hash-checked rows. The Spark
+# side still runs the real Arrow/mapInPandas pipeline (the thing under
+# test); only the codec call inside is fake.
+# ---------------------------------------------------------------------------
+
+_MEDIA_TYPE_SQL = "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END"
+
+
+def _media(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def mm_resize_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Thumbnail-fit resize planning (≙ image resize preprocessing): fake
+    dims from the decode stub, integer best-fit into a 32×32 box. The
+    arithmetic runs inside mapInPandas on the decoded batch — where a real
+    resize would."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 64) + 1
+            h = (n % 48) + 1
+            longest = w.combine(h, max)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": w,
+                    "height": h,
+                    "out_w": (w * 32 // longest).clip(lower=1),
+                    "out_h": (h * 32 // longest).clip(lower=1),
+                }
+            )
+            yield out
+
+    return _media(spark, sf).mapInPandas(
+        resize,
+        "doc_id long, media_type string, width long, height long, out_w long, out_h long",
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling plumbing: each doc yields (n_bytes % 7) + 1
+    evenly-spaced frames; mapInPandas explodes one input row into n output
+    rows — the batch-shape a real ffmpeg frame sampler produces."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            nf = (n % 7) + 1
+            rep = pdf.loc[pdf.index.repeat(nf)]
+            n_rep = rep["payload"].map(len)
+            nf_rep = (n_rep % 7) + 1
+            idx = rep.groupby(level=0).cumcount()
+            yield pd.DataFrame(
+                {
+                    "doc_id": rep["doc_id"],
+                    "frame_idx": idx,
+                    "frame_offset": idx * (n_rep // nf_rep),
+                }
+            )
+
+    return _media(spark, sf).mapInPandas(
+        frames, "doc_id long, frame_idx long, frame_offset long"
+    )
+
+
+def mm_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio chunking plumbing: fixed 256-byte windows with a short tail
+    chunk — (doc_id, chunk_idx, chunk_start, chunk_len) per window."""
+    CH = 256
+
+    def chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            nc = (n + CH - 1) // CH
+            rep = pdf.loc[pdf.index.repeat(nc)]
+            n_rep = rep["payload"].map(len)
+            idx = rep.groupby(level=0).cumcount()
+            start = idx * CH
+            yield pd.DataFrame(
+                {
+                    "doc_id": rep["doc_id"],
+                    "chunk_idx": idx,
+                    "chunk_start": start,
+                    "chunk_len": (n_rep - start).clip(upper=CH),
+                }
+            )
+
+    return _media(spark, sf).mapInPandas(
+        chunks, "doc_id long, chunk_idx long, chunk_start long, chunk_len long"
+    )
+
+
+QUERIES["mm_resize_meta"] = mm_resize_meta
+QUERIES["mm_frame_sample"] = mm_frame_sample
+QUERIES["mm_audio_chunks"] = mm_audio_chunks
+
+ORACLES["mm_resize_meta"] = f"""
+WITH m AS (
+  SELECT doc_id, {_MEDIA_TYPE_SQL} AS media_type,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id, media_type,
+       (n % 64) + 1 AS width,
+       (n % 48) + 1 AS height,
+       GREATEST(1, ((n % 64) + 1) * 32 // GREATEST((n % 64) + 1, (n % 48) + 1)) AS out_w,
+       GREATEST(1, ((n % 48) + 1) * 32 // GREATEST((n % 64) + 1, (n % 48) + 1)) AS out_h
+FROM m
+"""
+
+ORACLES["mm_frame_sample"] = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) % 7) + 1 AS nf
+  FROM documents
+)
+SELECT doc_id,
+       unnest(generate_series(0, nf - 1)) AS frame_idx,
+       unnest(generate_series(0, nf - 1)) * (n // nf) AS frame_offset
+FROM m
+"""
+
+ORACLES["mm_audio_chunks"] = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) + 255) // 256 AS nc
+  FROM documents
+)
+SELECT doc_id,
+       unnest(generate_series(0, nc - 1)) AS chunk_idx,
+       unnest(generate_series(0, nc - 1)) * 256 AS chunk_start,
+       LEAST(n - unnest(generate_series(0, nc - 1)) * 256, 256) AS chunk_len
+FROM m
+"""
