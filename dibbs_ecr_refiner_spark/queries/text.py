@@ -74,6 +74,89 @@ def _ngrams(toks, n=3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+# ------------------------------------------- repetition quality signal
+
+
+@q(
+    "repetition_score",
+    """
+    WITH grams AS (
+      SELECT doc_id, tok[i] || ' ' || tok[i+1] AS g
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
+            FROM documents),
+           (SELECT unnest(range(1, 10000)) AS i)
+      WHERE i + 1 <= len(tok)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           COUNT(DISTINCT g) AS n_distinct,
+           ((COUNT(*) - COUNT(DISTINCT g)) * 1000000) // COUNT(*) AS rep_ppm
+    FROM grams GROUP BY doc_id
+    """,
+)
+def repetition_score(spark, sf):
+    """Duplicate-bigram fraction per document (the Gopher-rules repetition
+    filter): heavily repetitive boilerplate scores high and gets dropped
+    from training sets. Reported in exact integer parts-per-million so the
+    oracle is bit-stable. Per-row explode + one hash agg — scales like
+    token_count."""
+    toks = F.col("tok")
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", toks[i], toks[i + 1])),
+    ).otherwise(F.array().cast("array<string>"))
+    g = _with_tok(spark, sf).select("doc_id", F.explode(bigrams).alias("g"))
+    return (
+        g.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("g").alias("n_distinct"),
+        )
+        .withColumn(
+            "rep_ppm",
+            F.expr("((n_bigrams - n_distinct) * 1000000L) div n_bigrams"),
+        )
+    )
+
+
+# ------------------------------------------------- PII scrubbing
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+_LONGNUM_RE = "[0-9]{7,}"
+
+
+@q(
+    "pii_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g') AS scrubbed,
+           len(regexp_split_to_array(text, '{_EMAIL_RE}')) - 1 AS n_emails,
+           len(regexp_split_to_array(text, '{_LONGNUM_RE}')) - 1 AS n_longnums
+    FROM documents
+    """,
+)
+def pii_scrub(spark, sf):
+    """Training-data PII scrub: mask email addresses and long digit runs
+    (phone/ID shaped), reporting per-doc hit counts. Pure per-row
+    regexp_replace — JVM-side, whole-stage-codegen, scales like any
+    projection. Identical RE2-compatible patterns run in the DuckDB
+    oracle, so the masked text is hash-checked byte-for-byte."""
+    t = F.col("text")
+    scrub = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+    )
+    return _docs_wide(spark, sf).select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (F.size(F.split(t, _EMAIL_RE)) - 1).cast("long").alias("n_emails"),
+        (F.size(F.split(t, _LONGNUM_RE)) - 1).cast("long").alias("n_longnums"),
+    )
+
+
 # ------------------------------------------------------------ exact dedup
 
 
