@@ -319,6 +319,64 @@ def test_incremental_scan_from_none_is_full_table(spark, tmp_path):
     assert table.read_changes(None).count() == 1
 
 
+# ---------------- chaos: interleaved modes + maintenance ----------------
+
+
+def test_chaos_interleaved_modes_and_maintenance_match_oracle(spark, tmp_path, changes):
+    """The strongest MOR correctness claim: COW and MOR batches interleaved
+    with folds, surgical compaction, partition evolution, snapshot expiry
+    and GC — in any order — still converge to the single-shot batch oracle
+    on every column. Every step the engine exposes is exercised against
+    the same invariant."""
+    from dibbs_ecr_refiner_spark.lake.maintenance import (
+        compact,
+        expire_snapshots,
+        gc_orphans,
+        rebucket,
+        should_fold,
+    )
+
+    table, eng = _fresh(spark, tmp_path)
+    batch_ids = sorted(r[0] for r in changes.select("ingest_file").distinct().collect())
+    for i, b in enumerate(batch_ids):
+        mode = "mor" if i % 2 == 0 else "cow"
+        eng.apply_batch(changes.where(F.col("ingest_file") == b), b, mode=mode)
+        if i == 1:
+            over = should_fold(table, max_deltas_per_bucket=0)
+            if over:
+                compact(table, buckets=over, post=lambda d: d)
+        if i == 2:
+            rebucket(table, 16, post=None)
+        if i == 3:
+            eng.fold_deltas()
+            expire_snapshots(table, keep_last=2)
+            gc_orphans(table, min_age_sec=0.0)
+    got = _rows(eng.read_refined())
+    want = _rows(batch_oracle(changes, eng.plan).select(*CMP_COLS))
+    assert got == want
+
+
+def test_mor_crash_resume_heals(spark, tmp_path, changes):
+    """Crash during a MOR commit: uncommitted delta files are unreferenced;
+    resume re-applies only the failed batch and converges to the oracle."""
+    table, eng = _fresh(spark, tmp_path)
+    batch_ids = sorted(r[0] for r in changes.select("ingest_file").distinct().collect())
+    for b in batch_ids[:2]:
+        eng.apply_batch(changes.where(F.col("ingest_file") == b), b, mode="mor")
+
+    crash = table._commit
+    table._commit = lambda m: (_ for _ in ()).throw(OSError("simulated crash"))
+    with pytest.raises(OSError):
+        eng.apply_batch(
+            changes.where(F.col("ingest_file") == batch_ids[2]), batch_ids[2], mode="mor"
+        )
+    table._commit = crash
+
+    stats = eng.replay(changes, mode="mor")
+    assert stats.batches_skipped == 2 and stats.batches == PARAMS.n_batches - 2
+    assert final_state_matches(table.read(), batch_oracle(changes, eng.plan))
+
+
 # ---------------- snapshot retention ----------------
 
 
