@@ -319,6 +319,43 @@ def test_incremental_scan_from_none_is_full_table(spark, tmp_path):
     assert table.read_changes(None).count() == 1
 
 
+# ---------------- change-feed consumer ----------------
+
+
+def test_change_feed_reader_exactly_once_per_consumer(spark, tmp_path, changes):
+    """CDC-out consumer: poll/commit cursor semantics — first poll streams
+    the whole table, quiet polls are empty, new MOR batches arrive exactly
+    once after commit, and an uncommitted poll re-delivers (at-least-once
+    + idempotent downstream = exactly-once)."""
+    from dibbs_ecr_refiner_spark.lake.feed import ChangeFeedReader
+
+    table, eng = _fresh(spark, tmp_path)
+    batch_ids = sorted(r[0] for r in changes.select("ingest_file").distinct().collect())
+    eng.apply_batch(changes.where(F.col("ingest_file") == batch_ids[0]), batch_ids[0], mode="mor")
+
+    feed = ChangeFeedReader(table, str(tmp_path / "cursor.json"))
+    first = feed.poll()
+    assert first.count() == table.read(include_tombstones=True).count()
+    feed.commit()
+    assert feed.poll().isEmpty()  # nothing new
+
+    eng.apply_batch(changes.where(F.col("ingest_file") == batch_ids[1]), batch_ids[1], mode="mor")
+    second = feed.poll()
+    from dibbs_ecr_refiner_spark.engine import prepare_delta
+
+    want = prepare_delta(changes.where(F.col("ingest_file") == batch_ids[1]), eng.plan).count()
+    assert second.count() == want
+    # crash before commit: re-poll re-delivers the same span
+    assert feed.poll().count() == want
+    feed.commit()
+    assert feed.poll().isEmpty()
+    # a second consumer has its own cursor and replays the full history:
+    # every delta file's rows (batch-1 winners + batch-2 winners — a key
+    # updated in both batches appears once per batch, as a feed should)
+    other = ChangeFeedReader(table, str(tmp_path / "cursor2.json"))
+    assert other.poll().count() == first.count() + want
+
+
 # ---------------- chaos: interleaved modes + maintenance ----------------
 
 
