@@ -169,3 +169,26 @@ def test_random_replay_matches_oracle(spark, tmp_path_factory, events):
     table = LakeTable(spark, str(root / "t"), num_buckets=2)
     ReplayEngine(spark, table, default_plan()).replay(changes)
     assert final_state_matches(table.read(), batch_oracle(changes, default_plan()))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(changelog_st, st.tuples(st.booleans(), st.booleans()))
+def test_random_replay_random_modes_matches_oracle(spark, tmp_path_factory, events, modes):
+    """Same property, but hypothesis also chooses each batch's commit mode
+    (COW vs merge-on-read) — the final resolved state must be invariant to
+    HOW each batch was committed, for arbitrary tiny changelogs with
+    arbitrary duplicate/out-of-order/delete interleavings."""
+    from pyspark.sql import functions as F
+
+    from dibbs_ecr_refiner_spark.engine import ReplayEngine
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    changes = _changes_df(spark, events)
+    root = tmp_path_factory.mktemp("hyp-mor-lake")
+    table = LakeTable(spark, str(root / "t"), num_buckets=2)
+    eng = ReplayEngine(spark, table, default_plan())
+    batch_ids = sorted(r[0] for r in changes.select("ingest_file").distinct().collect())
+    for i, b in enumerate(batch_ids):
+        mode = "mor" if modes[i % len(modes)] else "cow"
+        eng.apply_batch(changes.where(F.col("ingest_file") == b), b, mode=mode)
+    assert final_state_matches(table.read(), batch_oracle(changes, default_plan()))
