@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame
 from .table import LakeTable
 
 
+class FeedLagsBehindRetention(Exception):
+    """The consumer's cursor points at an expired snapshot: the incremental
+    span can no longer be computed. Recover with ``reset()`` (full resync
+    from the current table — safe when the downstream is idempotent) or
+    raise the table's ``expire_snapshots(keep_last=...)`` horizon."""
+
+
 class ChangeFeedReader:
     def __init__(self, table: LakeTable, cursor_path: str):
         self.table = table
@@ -58,7 +65,20 @@ class ChangeFeedReader:
             if schema is None:
                 raise ValueError("table has no snapshot yet")
             return self.table.spark.createDataFrame([], schema)
-        return self.table.read_changes(frm, cur)
+        try:
+            return self.table.read_changes(frm, cur)
+        except FileNotFoundError as e:
+            raise FeedLagsBehindRetention(
+                f"cursor at snapshot {frm} but that manifest was expired; "
+                f"reset() for a full resync or raise keep_last"
+            ) from e
+
+    def reset(self) -> None:
+        """Drop the cursor: the next poll streams the whole current table
+        (full resync). Correct whenever the downstream is idempotent —
+        e.g. re-merging everything into an LWW table is a no-op."""
+        if os.path.exists(self.cursor_path):
+            os.remove(self.cursor_path)
 
     def commit(self) -> int:
         """Acknowledge the last poll()'s endpoint (atomic cursor write).

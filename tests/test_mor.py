@@ -356,6 +356,28 @@ def test_change_feed_reader_exactly_once_per_consumer(spark, tmp_path, changes):
     assert other.poll().count() == first.count() + want
 
 
+def test_feed_lagging_past_retention_raises_then_resets(spark, tmp_path):
+    """A consumer whose cursor predates the retention horizon gets a clear
+    error (not a raw file error) and can reset() for a full resync."""
+    from dibbs_ecr_refiner_spark.lake.feed import ChangeFeedReader, FeedLagsBehindRetention
+    from dibbs_ecr_refiner_spark.lake.maintenance import expire_snapshots
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0")
+    feed = ChangeFeedReader(table, str(tmp_path / "cur.json"))
+    feed.poll()
+    feed.commit()  # cursor at snapshot 1
+    for i in range(4):
+        table.merge(
+            _delta(spark, [("c1", i + 1, f"v{i}", 10 + i, False, None)]), f"b{i + 1}"
+        )
+    expire_snapshots(table, keep_last=1)  # snapshot 1 is gone
+    with pytest.raises(FeedLagsBehindRetention):
+        feed.poll()
+    feed.reset()
+    assert feed.poll().count() == table.read(include_tombstones=True).count()
+
+
 # ---------------- incremental materialized view ----------------
 
 
