@@ -234,7 +234,12 @@ class LakeTable:
             df = df.where(~F.col("_deleted"))
         return df
 
-    def read_changes(self, from_version: int | None, to_version: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        from_version: int | None,
+        to_version: int | None = None,
+        skip_rewrites: bool = True,
+    ) -> DataFrame:
         """Incremental scan (CDC-out, ≙ Iceberg incremental append scan):
         the rows of data files added between two snapshots, tombstones
         included (it is a change feed, so deletes must be visible).
@@ -243,13 +248,43 @@ class LakeTable:
         refined per-batch upserts + tombstones — the table re-emits its
         own change stream for downstream consumers. Under copy-on-write
         commits a rewritten bucket's file carries the whole bucket, so
-        the feed is bucket-granular (a superset of the true changes)."""
+        the feed is bucket-granular (a superset of the true changes).
+        Maintenance rewrites (compaction fold, rebucket) are tagged in
+        the manifest and skipped by default — same logical content, so a
+        fold between polls yields an empty feed; pass
+        ``skip_rewrites=False`` to see physical file churn too."""
         old = self.snapshot(from_version) if from_version else None
         new = self.snapshot(to_version)
         if new is None:
             raise ValueError("table has no snapshot yet")
         old_paths = {f["path"] for f in old["files"]} if old else set()
         added = [f for f in new["files"] if f["path"] not in old_paths]
+        if skip_rewrites and from_version is not None:
+            # Walk the span's manifests collecting every NON-rewrite file
+            # added anywhere in it — the endpoint diff alone is wrong here:
+            # a fold inside the span supersedes unconsumed delta files, and
+            # skipping the rewrite files that absorbed them would lose
+            # their changes. Superseded files stay readable while their
+            # manifests are retained (gc honors retained history). If an
+            # intermediate manifest was expired, fall back to the endpoint
+            # diff INCLUDING rewrites — a full redelivery the idempotent
+            # downstream absorbs, never silent loss.
+            try:
+                span: dict[str, dict] = {}
+                prev_paths = set(old_paths)
+                for v in range(from_version + 1, new["snapshot_id"] + 1):
+                    s = self.snapshot(v)
+                    for f_ in s["files"]:
+                        if (
+                            f_["path"] not in prev_paths
+                            and not f_.get("rewrite")
+                            and f_["path"] not in span
+                        ):
+                            span[f_["path"]] = f_
+                    prev_paths = {f_["path"] for f_ in s["files"]}
+                added = list(span.values())
+            except FileNotFoundError:
+                pass
         schema = T.StructType.fromJson(new["schema"])
         if not added:
             return self.spark.createDataFrame([], schema)
@@ -521,6 +556,11 @@ class LakeTable:
                     entry = {"path": f"{commit_rel}/{bdir}/{fn}", "bucket": b}
                     if mode == "mor" and not replace_buckets:
                         entry["kind"] = "delta"
+                    if replace_buckets:
+                        # maintenance rewrite (compaction / rebucket): same
+                        # logical content in new files — change-feed readers
+                        # skip these so a fold doesn't re-deliver the table
+                        entry["rewrite"] = True
                     new_files.append(entry)
         t_files = time.time() - t_files
 

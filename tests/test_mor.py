@@ -378,6 +378,63 @@ def test_feed_lagging_past_retention_raises_then_resets(spark, tmp_path):
     assert feed.poll().count() == table.read(include_tombstones=True).count()
 
 
+def test_feed_skips_maintenance_rewrites_without_losing_changes(spark, tmp_path):
+    """A fold between polls is invisible to the feed (same logical
+    content), BUT a fold that superseded an unconsumed delta must not
+    swallow that delta's changes — the span walk reads the superseded
+    file through the retained manifest."""
+    from dibbs_ecr_refiner_spark.lake.feed import ChangeFeedReader
+    from dibbs_ecr_refiner_spark.lake.maintenance import compact
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0", mode="mor")
+    feed = ChangeFeedReader(table, str(tmp_path / "cur.json"))
+    feed.poll()
+    feed.commit()
+
+    # fold with nothing unconsumed → empty poll
+    compact(table)
+    assert feed.poll().isEmpty()
+    feed.commit()
+
+    # unconsumed MOR delta, then a fold that supersedes it → the poll
+    # still returns exactly that delta's rows
+    table.merge(
+        _delta(spark, [("c1", 1, "unconsumed", 5, False, dt.datetime(2026, 1, 2))]),
+        "b1",
+        mode="mor",
+    )
+    compact(table)
+    got = feed.poll().collect()
+    assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in got] == [("c1", 1, "unconsumed")]
+    feed.commit()
+    assert feed.poll().isEmpty()
+
+
+def test_feed_expired_intermediate_falls_back_to_full_redelivery(spark, tmp_path):
+    """When the span's manifests were expired, the feed over-delivers (the
+    endpoint diff including rewrites) instead of silently losing changes."""
+    from dibbs_ecr_refiner_spark.lake.feed import ChangeFeedReader
+    from dibbs_ecr_refiner_spark.lake.maintenance import compact, expire_snapshots
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1, False, None)]), "b0", mode="mor")
+    feed = ChangeFeedReader(table, str(tmp_path / "cur.json"))
+    feed.poll()
+    feed.commit()  # cursor at v1
+    table.merge(
+        _delta(spark, [("c1", 1, "mid", 5, False, dt.datetime(2026, 1, 2))]), "b1", mode="mor"
+    )
+    compact(table)  # v3 rewrite absorbs v2's delta
+    # expire the intermediate v2 manifest but keep the cursor's v1
+    import os as _os
+
+    _os.remove(_os.path.join(str(tmp_path / "t"), "_manifests", "v00000002.json"))
+    rows = feed.poll().collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["mid", "v1"], "full redelivery, never loss"
+
+
 # ---------------- incremental materialized view ----------------
 
 
