@@ -168,9 +168,13 @@ class LakeTable:
         with open(os.path.join(self._manifest_dir, f"v{version:08d}.json")) as f:
             return json.load(f)
 
-    def _commit(self, manifest: dict) -> None:
+    def _commit(self, manifest: dict, publish: bool = True) -> None:
         """Two-step atomic commit: immutable snapshot file (fails if a
-        concurrent writer claimed the version), then pointer flip."""
+        concurrent writer claimed the version), then pointer flip. With
+        ``publish=False`` the pointer is left alone — the snapshot is
+        staged (write-audit-publish): readers keep seeing the old current,
+        an auditor reads ``read(version=...)``, and ``publish_snapshot``
+        flips or ``abort_snapshot`` discards."""
         v = manifest["snapshot_id"]
         final = os.path.join(self._manifest_dir, f"v{v:08d}.json")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -180,10 +184,35 @@ class LakeTable:
             os.remove(tmp)
             raise SnapshotConflict(f"snapshot v{v} already committed")
         os.rename(tmp, final)
+        if publish:
+            self._flip_pointer(v)
+
+    def _flip_pointer(self, v: int) -> None:
         ptr_tmp = os.path.join(self._manifest_dir, f"_current.tmp-{uuid.uuid4().hex}")
         with open(ptr_tmp, "w") as f:
             f.write(str(v))
         os.rename(ptr_tmp, os.path.join(self._manifest_dir, "_current"))
+
+    def publish_snapshot(self, version: int) -> None:
+        """WAP publish: make a staged snapshot the current one. The staged
+        chain must descend from the current pointer (it does when staged
+        by ``merge(publish=False)`` — staging claims the version, so no
+        competing writer can have landed in between)."""
+        cur = self._current_version()
+        snap = self.snapshot(version)
+        if cur is not None and snap.get("parent_id") != cur:
+            raise SnapshotConflict(
+                f"staged v{version} has parent {snap.get('parent_id')}, current is {cur}"
+            )
+        self._flip_pointer(version)
+
+    def abort_snapshot(self, version: int) -> None:
+        """WAP abort: discard a staged (never-published) snapshot. Its data
+        files become orphans for gc_orphans; the claimed version is freed
+        for the next writer."""
+        if self._current_version() == version:
+            raise ValueError(f"v{version} is published — cannot abort")
+        os.remove(os.path.join(self._manifest_dir, f"v{version:08d}.json"))
 
     def schema(self) -> T.StructType | None:
         snap = self.current_snapshot()
@@ -290,6 +319,41 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f["path"]) for f in added]
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def drop_column(self, name: str) -> dict:
+        """Schema evolution beyond additive: drop a payload column with a
+        metadata-only commit (≙ Iceberg drop column — no data rewrite).
+        The narrowed snapshot schema makes every read prune the column;
+        the bytes in existing files go dead and fall out at the next
+        compaction rewrite.
+
+        The dropped NAME is tombstoned forever: these files carry no
+        per-field ids (Iceberg's mechanism), so re-adding a same-named
+        column would resurrect the old bytes from un-rewritten files —
+        merge rejects it instead. KEY/ORDER/engine columns are protected.
+        Rename is deliberately unsupported (= drop + add, i.e. data loss
+        without field ids)."""
+        protected = {*KEY, *ORDER, "_deleted"}
+        if name in protected:
+            raise ValueError(f"column {name!r} is engine-required")
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("table has no snapshot yet")
+        schema = T.StructType.fromJson(snap["schema"])
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"no such column {name!r}")
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        manifest = {
+            **snap,
+            "snapshot_id": snap["snapshot_id"] + 1,
+            "parent_id": snap["snapshot_id"],
+            "committed_at": time.time(),
+            "schema": json.loads(new_schema.json()),
+            "schema_version": snap["schema_version"] + 1,
+            "dropped_columns": sorted({*snap.get("dropped_columns", []), name}),
+        }
+        self._commit(manifest)
+        return {"dropped": name, "snapshot_id": manifest["snapshot_id"]}
 
     def bucket_of(self, conv_id: str) -> int:
         """The bucket a conversation lives in (same xxhash64 as the write
@@ -406,6 +470,7 @@ class LakeTable:
         advance_watermarks: bool = True,
         mode: str = "cow",
         watermarks_override: dict[str, int] | None = None,
+        publish: bool = True,
     ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
@@ -459,6 +524,12 @@ class LakeTable:
         delta_schema = T.StructType([f for f in delta.schema.fields if f.name != "_bucket"])
         if snap:
             old_schema = T.StructType.fromJson(snap["schema"])
+            dead = {f.name for f in delta_schema.fields} & set(snap.get("dropped_columns", []))
+            if dead:
+                raise IncompatibleSchemaChange(
+                    f"column(s) {sorted(dead)} were dropped; re-adding the name would "
+                    "resurrect old bytes from un-rewritten files (no field ids)"
+                )
             new_schema = _merge_schemas(old_schema, delta_schema)
             if mode == "mor" and not replace_buckets:
                 # merge-on-read: existing files are untouched (all carried);
@@ -617,11 +688,13 @@ class LakeTable:
             "files": carried + new_files,
             "watermarks": watermarks,
             "applied_batches": applied,
+            "dropped_columns": snap.get("dropped_columns", []) if snap else [],
         }
-        self._commit(manifest)
+        self._commit(manifest, publish=publish)
         return {
             "skipped": False,
             "batch_id": batch_id,
+            "staged": not publish,
             "snapshot_id": new_version,
             "seconds": time.time() - t0,
             "write_sec": round(t_write, 3),

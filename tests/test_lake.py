@@ -123,6 +123,60 @@ def test_schema_evolution_adds_column(spark, tmp_path):
     assert snap["schema_version"] == 2
 
 
+def test_wap_stage_audit_publish_and_abort(spark, tmp_path):
+    """Write-audit-publish: a merge with publish=False stages a snapshot
+    readers cannot see; an auditor reads it by version; publish flips the
+    pointer atomically; abort frees the claimed version for the next
+    writer and strands only orphan files."""
+    table = mk(spark, tmp_path, [("c1", 0, "base", 1, False, None)])
+
+    res = table.merge(_delta(spark, [("c2", 0, "staged", 2, False, None)]), "b1", publish=False)
+    assert res["staged"] and res["snapshot_id"] == 2
+    # invisible to readers...
+    assert [r["conv_id"] for r in table.read().collect()] == ["c1"]
+    # ...auditable by version
+    audit = {r["conv_id"] for r in table.read(version=2).collect()}
+    assert audit == {"c1", "c2"}
+    table.publish_snapshot(2)
+    assert {r["conv_id"] for r in table.read().collect()} == {"c1", "c2"}
+
+    # abort path: stage then discard; the version is reclaimed
+    res = table.merge(_delta(spark, [("c3", 0, "bad", 3, False, None)]), "b2", publish=False)
+    table.abort_snapshot(res["snapshot_id"])
+    assert {r["conv_id"] for r in table.read().collect()} == {"c1", "c2"}
+    res2 = table.merge(_delta(spark, [("c4", 0, "good", 4, False, None)]), "b3")
+    assert res2["snapshot_id"] == 3  # freed version reused
+    assert {r["conv_id"] for r in table.read().collect()} == {"c1", "c2", "c4"}
+
+
+def test_drop_column_metadata_only_and_name_tombstoned(spark, tmp_path):
+    """Dropping a column is a metadata-only commit: reads stop seeing it
+    immediately, no data files change, and the name can never be re-added
+    (old bytes in un-rewritten files would resurrect)."""
+    import pytest as _pytest
+
+    from dibbs_ecr_refiner_spark.lake.table import IncompatibleSchemaChange
+
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    evolved = _delta(spark, [("c2", 0, "v2", 2, False, None)]).withColumn("metadata", F.lit("m"))
+    table.merge(evolved, "b1")
+    files_before = {f["path"] for f in table.current_snapshot()["files"]}
+
+    table.drop_column("metadata")
+    assert "metadata" not in table.read().columns
+    assert {f["path"] for f in table.current_snapshot()["files"]} == files_before
+    assert table.current_snapshot()["schema_version"] == 3
+
+    with _pytest.raises(IncompatibleSchemaChange):
+        table.merge(
+            _delta(spark, [("c3", 0, "v3", 3, False, None)]).withColumn("metadata", F.lit("x")),
+            "b2",
+        )
+    # engine columns are protected
+    with _pytest.raises(ValueError):
+        table.drop_column("conv_id")
+
+
 def test_incompatible_type_change_fails(spark):
     import pyspark.sql.types as T
 
@@ -138,7 +192,7 @@ def test_crash_before_commit_is_invisible_then_rerun_heals(spark, tmp_path):
 
     # Simulate a crash after data files land but before the snapshot commit.
     orig = table._commit
-    table._commit = lambda m: (_ for _ in ()).throw(OSError("crash"))
+    table._commit = lambda m, **kw: (_ for _ in ()).throw(OSError("crash"))
     with pytest.raises(OSError):
         table.merge(_delta(spark, [("c1", 0, "v2", 5, False, None)]), "b1")
     table._commit = orig

@@ -531,7 +531,7 @@ def test_mor_crash_resume_heals(spark, tmp_path, changes):
         eng.apply_batch(changes.where(F.col("ingest_file") == b), b, mode="mor")
 
     crash = table._commit
-    table._commit = lambda m: (_ for _ in ()).throw(OSError("simulated crash"))
+    table._commit = lambda m, **kw: (_ for _ in ()).throw(OSError("simulated crash"))
     with pytest.raises(OSError):
         eng.apply_batch(
             changes.where(F.col("ingest_file") == batch_ids[2]), batch_ids[2], mode="mor"

@@ -79,7 +79,7 @@ def test_resume_after_crash_midway(spark, tmp_path, changes):
         eng.apply_batch(changes.where(F.col("ingest_file") == b), b)
 
     crash_commit = table._commit
-    table._commit = lambda m: (_ for _ in ()).throw(OSError("simulated crash"))
+    table._commit = lambda m, **kw: (_ for _ in ()).throw(OSError("simulated crash"))
     with pytest.raises(OSError):
         eng.apply_batch(changes.where(F.col("ingest_file") == batch_ids[2]), batch_ids[2])
     table._commit = crash_commit
