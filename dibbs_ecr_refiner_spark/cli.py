@@ -91,6 +91,21 @@ def cmd_expire(args) -> dict:
     return {"cmd": "expire", **expire_snapshots(table, keep_last=args.keep_last)}
 
 
+def cmd_export(args) -> dict:
+    """Export the clean transcripts view for downstream consumers (simple
+    columns only, so every format works)."""
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    df = table.read_transcripts()
+    w = df.write.mode("overwrite")
+    if args.format == "csv":
+        w = w.option("header", "true").option("escape", '"')
+    w.format(args.format).save(args.out)
+    return {"cmd": "export", "format": args.format, "rows": df.count(), "out": args.out}
+
+
 def cmd_rebucket(args) -> dict:
     from dibbs_ecr_refiner_spark.lake.maintenance import rebucket
     from dibbs_ecr_refiner_spark.lake.table import LakeTable
@@ -218,6 +233,11 @@ def main(argv=None) -> int:
     e.add_argument("--config", required=True)
     e.add_argument("--limit", type=int, default=10)
 
+    xp = sub.add_parser("export", help="export the transcripts view (parquet/json/csv)")
+    xp.add_argument("--table", required=True)
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--format", choices=["parquet", "json", "csv"], default="parquet")
+
     ex = sub.add_parser("expire", help="expire old snapshots (bound the time-travel horizon)")
     ex.add_argument("--table", required=True)
     ex.add_argument("--keep-last", type=int, default=5)
@@ -244,6 +264,7 @@ def main(argv=None) -> int:
         "changes": cmd_changes,
         "rebucket": cmd_rebucket,
         "expire": cmd_expire,
+        "export": cmd_export,
     }[args.cmd](args)
     print(json.dumps(out))
     return 0

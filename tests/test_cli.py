@@ -46,3 +46,9 @@ def test_cli_mor_lifecycle(spark, tmp_path, capsys):
     rep2 = _run(capsys, "replay", "--changelog", log, "--table", table,
                 "--buckets", "8", "--mode", "mor")
     assert rep2["batches_applied"] == 0 and rep2["batches_skipped"] == 2
+
+    # export the transcripts view for downstream consumers
+    out = str(tmp_path / "export")
+    exp = _run(capsys, "export", "--table", table, "--out", out, "--format", "csv")
+    assert exp["rows"] == live_before
+    assert spark.read.option("header", "true").csv(out).count() == live_before

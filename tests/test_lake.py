@@ -277,6 +277,34 @@ def test_corrupt_record_quarantine(spark, tmp_path):
     assert {r["turn_idx"] for r in valid.collect()} == {0, 1}
 
 
+def test_corrupt_record_quarantine_csv(spark, tmp_path):
+    """CSV flavor of the quarantine policy: type-mismatched and key-less
+    rows quarantine; valid rows decode extra from its JSON cell and replay
+    through the engine unchanged."""
+    from dibbs_ecr_refiner_spark.sources.ingest import read_change_log_csv
+
+    p = tmp_path / "log.csv"
+    header = "conv_id,turn_idx,op,role,text,tool,ts,change_lsn,ingest_file,extra"
+    lines = [
+        header,
+        'c1,0,insert,user,hello,,2026-01-01T00:00:00,1,b0,"{""src"":""t""}"',
+        "c1,NOT_AN_INT,insert,user,bad,,2026-01-01T00:00:00,2,b0,",     # type mismatch
+        ",,insert,user,no key,,2026-01-01T00:00:00,3,b0,",              # parses, no PK
+        'c1,1,insert,user,bye,,2026-01-01T00:00:01,4,b0,"{""src"":""t""}"',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    valid, quarantined = read_change_log_csv(spark, str(p))
+    assert valid.count() == 2
+    assert quarantined.count() == 2
+    rows = {r["turn_idx"]: r for r in valid.collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["extra"] == {"src": "t"}
+    # valid rows carry the full standard change schema
+    from dibbs_ecr_refiner_spark.streaming.apply import CHANGE_SCHEMA
+
+    assert valid.schema == CHANGE_SCHEMA
+
+
 # ---------------- round-2 hardening ----------------
 
 
