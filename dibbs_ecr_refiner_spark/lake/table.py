@@ -75,6 +75,11 @@ from pyspark.sql import types as T
 FORMAT_VERSION = 1
 KEY = ("conv_id", "turn_idx")
 ORDER = ("ts", "change_lsn")
+# Sort rows by key inside each data file (within-partition sort, no
+# shuffle): parquet row-group min/max stats on conv_id then let point
+# lookups skip row groups, and like-keyed rows compress better. Costs a
+# per-batch sort in the write path — measured A/B in BENCH.md.
+SORT_WITHIN_FILES = True
 
 
 class SnapshotConflict(Exception):
@@ -600,9 +605,17 @@ class LakeTable:
         else:
             salt = F.lit(0)
         n_out = max(self.spark.sparkContext.defaultParallelism, len(touched))
+        staged_df = merged.repartition(n_out, F.col("_bucket"), salt)
+        if SORT_WITHIN_FILES:
+            # key-clustered files: a within-partition sort (no shuffle)
+            # gives parquet row-group min/max stats on conv_id, so point
+            # lookups skip row groups, and like-keyed rows compress better.
+            # MUST lead with _bucket: the dynamic-partition writer requires
+            # ordering by the partition column and would re-sort (unstably,
+            # destroying the key order) if the child's ordering lacks it.
+            staged_df = staged_df.sortWithinPartitions("_bucket", "conv_id", "turn_idx")
         (
-            merged.repartition(n_out, F.col("_bucket"), salt)
-            .write.option("maxRecordsPerFile", 5_000_000)
+            staged_df.write.option("maxRecordsPerFile", 5_000_000)
             .partitionBy("_bucket")
             .parquet(staging)
         )
