@@ -688,3 +688,86 @@ def pivot_status(spark, sf):
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+@q(
+    "q5_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: the classic six-table star join with a local-supplier
+    constraint (s_nationkey = c_nationkey). Catalyst broadcasts the three
+    dimension tables (supplier/nation/region plus the region-filtered
+    nation set) and hash-joins the two fact tables; the revenue sum uses
+    the exact-decimal discipline so the oracle is bit-stable."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    revenue = (
+        F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate
+    """,
+)
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: HAVING-subquery semi join — find customers with
+    very large orders. The qualifying-orderkeys set is produced by a
+    pre-aggregation and semi-joined into the fact scan (not recomputed per
+    row); at scale AQE turns the (small) qualifying set into a broadcast
+    semi join."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        _t(spark, sf, "orders")
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("total_qty"))
+    )
