@@ -57,6 +57,14 @@ def test_lww_agg_is_partial_aggregation_not_sort(spark):
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
 
 
+def test_q5_star_join_is_all_broadcast(spark, sf_dir):
+    """Six-table star join: every join compiles to BroadcastHashJoin (the
+    dims are small) — no sort-merge exchange in the plan."""
+    plan = _explain(relational.q5_supplier_volume(spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
 def test_mor_read_resolves_with_partial_agg(spark, tmp_path):
     """The merge-on-read resolve must keep the property that makes LWW
     scale: a partial reduce before the exchange (hot keys combine
