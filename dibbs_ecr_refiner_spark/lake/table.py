@@ -214,9 +214,12 @@ class LakeTable:
     def abort_snapshot(self, version: int) -> None:
         """WAP abort: discard a staged (never-published) snapshot. Its data
         files become orphans for gc_orphans; the claimed version is freed
-        for the next writer."""
-        if self._current_version() == version:
-            raise ValueError(f"v{version} is published — cannot abort")
+        for the next writer. Only versions ABOVE the current pointer can be
+        staged, so anything at or below it is published history — deleting
+        that is expire_snapshots' job, not abort's."""
+        cur = self._current_version()
+        if cur is not None and version <= cur:
+            raise ValueError(f"v{version} is published history — cannot abort")
         os.remove(os.path.join(self._manifest_dir, f"v{version:08d}.json"))
 
     def schema(self) -> T.StructType | None:

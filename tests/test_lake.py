@@ -148,6 +148,12 @@ def test_wap_stage_audit_publish_and_abort(spark, tmp_path):
     assert res2["snapshot_id"] == 3  # freed version reused
     assert {r["conv_id"] for r in table.read().collect()} == {"c1", "c2", "c4"}
 
+    # published history (current or older) can never be aborted
+    with pytest.raises(ValueError):
+        table.abort_snapshot(3)
+    with pytest.raises(ValueError):
+        table.abort_snapshot(1)
+
 
 def test_drop_column_metadata_only_and_name_tombstoned(spark, tmp_path):
     """Dropping a column is a metadata-only commit: reads stop seeing it
