@@ -58,20 +58,25 @@ class ChangeFeedReader:
         the span is computed from the two endpoint manifests only."""
         snap = self.table.current_snapshot()
         cur = snap["snapshot_id"] if snap else None
-        self._pending = cur
+        # _pending is only armed on a SUCCESSFUL poll: a commit() after a
+        # failed poll must not advance the cursor past an undelivered span
+        self._pending = None
         frm = self._read_cursor()
         if cur is None or frm == cur:
             schema = self.table.schema()
             if schema is None:
                 raise ValueError("table has no snapshot yet")
+            self._pending = cur
             return self.table.spark.createDataFrame([], schema)
         try:
-            return self.table.read_changes(frm, cur)
+            out = self.table.read_changes(frm, cur)
         except FileNotFoundError as e:
             raise FeedLagsBehindRetention(
                 f"cursor at snapshot {frm} but that manifest was expired; "
                 f"reset() for a full resync or raise keep_last"
             ) from e
+        self._pending = cur
+        return out
 
     def reset(self) -> None:
         """Drop the cursor: the next poll streams the whole current table

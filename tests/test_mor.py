@@ -374,6 +374,9 @@ def test_feed_lagging_past_retention_raises_then_resets(spark, tmp_path):
     expire_snapshots(table, keep_last=1)  # snapshot 1 is gone
     with pytest.raises(FeedLagsBehindRetention):
         feed.poll()
+    # a commit after the failed poll must NOT silently skip the span
+    with pytest.raises(RuntimeError):
+        feed.commit()
     feed.reset()
     assert feed.poll().count() == table.read(include_tombstones=True).count()
 
