@@ -171,6 +171,77 @@ def test_random_replay_matches_oracle(spark, tmp_path_factory, events):
     assert final_state_matches(table.read(), batch_oracle(changes, default_plan()))
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    changelog_st,
+    st.lists(st.sampled_from(["merge_cow", "merge_mor", "consume", "consume_crash"]),
+             min_size=2, max_size=6),
+)
+def test_feed_consumer_reconstructs_source(spark, tmp_path_factory, events, ops):
+    """Consumer contract property: a downstream that LWW-applies every
+    polled span — with arbitrary interleavings of COW/MOR commits, polls,
+    and crashes between poll and commit (re-delivery) — ends up exactly
+    equal to the source's live state. At-least-once + idempotent apply ⇒
+    exactly-once effect, for random inputs."""
+
+    from dibbs_ecr_refiner_spark.lake.feed import ChangeFeedReader
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    # drop colliding (conv, turn, ts, lsn) draws: the engine breaks such
+    # ties lexicographically on payload, which the plain-dict downstream
+    # deliberately does not reimplement (re-delivery of IDENTICAL rows is
+    # still exercised via consume_crash)
+    events = list({(e[0], e[1], e[3], e[4]): e for e in events}.values())
+    changes = _changes_df(spark, events)
+    rows = changes.collect()
+    # split events round-robin into as many deltas as merge ops
+    merge_ops = [o for o in ops if o.startswith("merge")]
+    chunks = [rows[i :: len(merge_ops)] for i in range(len(merge_ops))]
+
+    root = tmp_path_factory.mktemp("hyp-feed")
+    table = LakeTable(spark, str(root / "t"), num_buckets=2)
+    feed = ChangeFeedReader(table, str(root / "cursor.json"))
+    downstream: dict = {}
+
+    def apply_feed(df):
+        for r in df.collect():
+            k = (r["conv_id"], r["turn_idx"])
+            o = (r["ts"], r["change_lsn"])
+            if k not in downstream or o >= downstream[k][0]:
+                downstream[k] = (o, r["_deleted"], r["text"])
+
+    mi = 0
+    from dibbs_ecr_refiner_spark.engine import ReplayEngine
+    from dibbs_ecr_refiner_spark.plans.config import default_plan
+
+    eng = ReplayEngine(spark, table, default_plan())
+    for op in ops:
+        if op.startswith("merge"):
+            chunk = chunks[mi]
+            mi += 1
+            if not chunk:
+                continue
+            batch = spark.createDataFrame(chunk, changes.schema)
+            eng.apply_batch(batch, f"b{mi}", mode="mor" if op == "merge_mor" else "cow")
+        elif table.current_snapshot() is not None:
+            df = feed.poll()
+            apply_feed(df)
+            if op == "consume":
+                feed.commit()
+            # consume_crash: applied but never acked — next poll re-delivers
+    if table.current_snapshot() is not None:
+        apply_feed(feed.poll())
+        feed.commit()
+        got = {
+            (k, v[2]) for k, v in downstream.items() if not v[1]
+        }
+        want = {
+            ((r["conv_id"], r["turn_idx"]), r["text"])
+            for r in table.read().select("conv_id", "turn_idx", "text").collect()
+        }
+        assert got == want
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(changelog_st, st.tuples(st.booleans(), st.booleans()))
 def test_random_replay_random_modes_matches_oracle(spark, tmp_path_factory, events, modes):
