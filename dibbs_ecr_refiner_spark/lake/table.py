@@ -133,6 +133,33 @@ def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+# ---------------- field ids (≙ Iceberg's schema-evolution mechanism) ----
+#
+# Every logical column has a stable integer id; data files record the
+# schema era (manifest schema_version) they were written under, and the
+# era map in the manifest translates id → that era's physical column name.
+# Reads resolve columns BY ID per era, so: a renamed column keeps reading
+# its old physical name from old files; a dropped-then-re-added name gets
+# a FRESH id, so old bytes under the same name stay invisible. Files from
+# before this feature carry no era tag ("sv") and are read by name — safe
+# because names were never renamed before ids existed; rename (and re-add
+# of a dropped name) stays refused while such legacy files remain (one
+# compaction rewrite clears them).
+
+
+def _cols_to_schema(cols: list[dict]) -> T.StructType:
+    return T.StructType(
+        [T.StructField(c["name"], T._parse_datatype_json_value(c["type"]), True) for c in cols]
+    )
+
+
+def _schema_to_cols(schema: T.StructType, start_id: int = 1) -> list[dict]:
+    return [
+        {"id": start_id + i, "name": f.name, "type": f.dataType.jsonValue()}
+        for i, f in enumerate(schema.fields)
+    ]
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32):
         self.spark = spark
@@ -533,10 +560,16 @@ class LakeTable:
         if snap:
             old_schema = T.StructType.fromJson(snap["schema"])
             dead = {f.name for f in delta_schema.fields} & set(snap.get("dropped_columns", []))
-            if dead:
+            legacy_files = any("sv" not in f for f in snap["files"])
+            if dead and legacy_files:
+                # only the pre-field-id files are read by NAME; once a
+                # compaction has rewritten them (every file carries an era
+                # tag), a re-added name gets a fresh id and old bytes stay
+                # invisible — so the rejection applies only while legacy
+                # files remain
                 raise IncompatibleSchemaChange(
-                    f"column(s) {sorted(dead)} were dropped; re-adding the name would "
-                    "resurrect old bytes from un-rewritten files (no field ids)"
+                    f"column(s) {sorted(dead)} were dropped and pre-field-id files remain; "
+                    "re-adding the name would resurrect old bytes — compact first"
                 )
             new_schema = _merge_schemas(old_schema, delta_schema)
             if mode == "mor" and not replace_buckets:
