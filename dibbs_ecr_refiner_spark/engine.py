@@ -97,6 +97,28 @@ class ReplayEngine:
         self.table = table
         self.plan = plan
 
+    # auto mode switches to merge-on-read once the table holds more than
+    # MOR_THRESHOLD× the batch's rows: COW rewrites O(touched buckets) per
+    # batch, so at steady state (small batches into a big table) it writes
+    # 14-18× more bytes than MOR (measured in BENCH.md); for bulk backfill
+    # (batch ≈ table) the rewrite IS the batch and COW's read-optimal files
+    # win. The estimate sums per-batch upsert counts from the manifest —
+    # an overcount when keys are re-updated, which only biases toward MOR
+    # in update-heavy regimes, exactly where MOR wins.
+    MOR_THRESHOLD = 2.0
+
+    def _live_rows_estimate(self) -> int:
+        snap = self.table.current_snapshot()
+        if not snap:
+            return 0
+        return sum(max(0, r["rows_upserted"]) for r in snap["applied_batches"].values())
+
+    def _resolve_mode(self, mode: str, batch_rows: int) -> str:
+        if mode != "auto":
+            return mode
+        table_rows = self._live_rows_estimate()
+        return "mor" if table_rows > self.MOR_THRESHOLD * max(1, batch_rows) else "cow"
+
     def apply_batch(
         self,
         changes: DataFrame,
@@ -104,7 +126,7 @@ class ReplayEngine:
         touched: list[int] | None = None,
         hot: list[int] | None = None,
         bucket_lsn_max: dict[int, int] | None = None,
-        mode: str = "cow",
+        mode: str = "auto",
     ) -> dict:
         if self.table.is_applied(batch_id):
             return {"skipped": True, "batch_id": batch_id}
@@ -122,6 +144,11 @@ class ReplayEngine:
             )
             touched, hot = _touched_and_hot({r["b"]: r["count"] for r in counts})
             bucket_lsn_max = {int(r["b"]): int(r["lsn"]) for r in counts}
+            mode = self._resolve_mode(mode, sum(r["count"] for r in counts))
+        elif mode == "auto":
+            # caller precomputed buckets but not the row count — a pruned
+            # count on the batch is cheap relative to the merge itself
+            mode = self._resolve_mode(mode, changes.count())
         # The batch is merged RAW: merge runs one LWW over (delta ∪ target)
         # — or over the delta alone in merge-on-read mode — and then the
         # guarded refinement pass over the fresh winners: exactly one
@@ -159,20 +186,26 @@ class ReplayEngine:
         df = self.table.read(include_tombstones=True)
         return enrich_displays(df, self.plan).where(~F.col("_deleted"))
 
-    def fold_deltas(self) -> dict:
+    def fold_deltas(self, buckets: list[int] | None = None) -> dict:
         """Compact merge-on-read deltas into base files, recomputing the
         display enrichment over the resolved rows so the folded table is
         byte-equal to a COW replay of the same log."""
         from .lake.maintenance import compact
 
         plan = self.plan
-        return compact(self.table, post=lambda d: enrich_displays(d, plan))
+        return compact(self.table, buckets=buckets, post=lambda d: enrich_displays(d, plan))
+
+    def _pending_delta_buckets(self) -> list[int]:
+        snap = self.table.current_snapshot()
+        if not snap:
+            return []
+        return sorted({f["bucket"] for f in snap["files"] if f.get("kind", "base") == "delta"})
 
     def replay(
         self,
         changes: DataFrame,
         batch_col: str = "ingest_file",
-        mode: str = "cow",
+        mode: str = "auto",
         fold_every: int | None = None,
     ) -> ReplayStats:
         """Replay every batch in batch-id order (≙ LSN-range order). Batches
@@ -184,6 +217,11 @@ class ReplayEngine:
         amplification is the dominant ingest cost when batches are small
         relative to the table); ``fold_every=k`` compacts the deltas every
         k committed batches so read-time merge cost stays bounded.
+        ``mode="auto"`` (default) resolves per batch: COW while the batch
+        is large relative to the table (bulk backfill), MOR once the table
+        dwarfs the batch (steady-state ingest, where COW's measured write
+        amplification is 14-18×) — with a default fold cadence of every 8
+        MOR batches so read amplification stays bounded.
 
         Scale note: each batch filters ``changes`` on ``batch_col``. When
         the input is parquet partitioned by that column (use
@@ -211,25 +249,39 @@ class ReplayEngine:
         for r in pre:
             by_batch.setdefault(r[batch_col], {})[r["b"]] = r["count"]
             lsn_by_batch.setdefault(r[batch_col], {})[int(r["b"])] = int(r["lsn"])
+        if mode == "auto" and fold_every is None:
+            fold_every = 8
         t0 = time.time()
+        mor_batches = 0
         for batch_id in sorted(by_batch):
             touched, hot = _touched_and_hot(by_batch[batch_id])
             batch = changes.where(F.col(batch_col) == batch_id)
+            batch_mode = self._resolve_mode(mode, sum(by_batch[batch_id].values()))
             res = self.apply_batch(
                 batch,
                 batch_id,
                 touched=touched,
                 hot=hot,
                 bucket_lsn_max=lsn_by_batch[batch_id],
-                mode=mode,
+                mode=batch_mode,
             )
             if res.get("skipped"):
                 stats.batches_skipped += 1
             else:
                 stats.batches += 1
+                if batch_mode == "mor":
+                    mor_batches += 1
                 stats.lineage.append(res)
-                if fold_every and stats.batches % fold_every == 0:
+                if fold_every and mor_batches and mor_batches % fold_every == 0:
                     self.fold_deltas()
+        if mode == "auto" and stats.batches:
+            # finish converged: fold any pending deltas (only their buckets)
+            # so a completed auto replay gives the COW guarantee — plain
+            # table.read() equals the batch oracle, displays included —
+            # while the per-batch writes kept MOR's O(batch) cost.
+            pending = self._pending_delta_buckets()
+            if pending:
+                self.fold_deltas(buckets=pending)
         stats.seconds = time.time() - t0
         return stats
 
@@ -237,7 +289,7 @@ class ReplayEngine:
         self,
         path: str,
         batch_col: str = "ingest_file",
-        mode: str = "cow",
+        mode: str = "auto",
         fold_every: int | None = None,
     ) -> ReplayStats:
         """Replay a change log laid out as parquet partitioned by batch —

@@ -114,6 +114,61 @@ def bucket_expr(num_buckets: int, col: str | None = "conv_id", lit: str | None =
     return F.pmod(F.xxhash64(src), F.lit(num_buckets)).cast("int")
 
 
+_XXP1, _XXP2, _XXP3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_XXP4, _XXP5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """Driver-side XXH64 (spec implementation), seed 42 = Spark's
+    ``F.xxhash64`` default — so point lookups can compute a key's bucket
+    without launching a Spark job. Parity with the write-path expression is
+    pinned by ``tests/test_lake.py::test_driver_side_xxhash64_parity``."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = _rotl((v + lane * _XXP2) & _M64, 31) * _XXP1 & _M64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl((v * _XXP2) & _M64, 31) * _XXP1 & _M64)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h = ((_rotl(h ^ (_rotl((lane * _XXP2) & _M64, 31) * _XXP1 & _M64), 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h = ((_rotl(h ^ ((lane * _XXP1) & _M64), 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ ((data[i] * _XXP5) & _M64), 11)) * _XXP1) & _M64
+        i += 1
+    h = ((h ^ (h >> 33)) * _XXP2) & _M64
+    h = ((h ^ (h >> 29)) * _XXP3) & _M64
+    return h ^ (h >> 32)
+
+
 def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
     """Additive schema merge: old column order preserved, new columns
     appended nullable. Type changes are incompatible."""
@@ -135,16 +190,25 @@ def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
 
 # ---------------- field ids (≙ Iceberg's schema-evolution mechanism) ----
 #
-# Every logical column has a stable integer id; data files record the
-# schema era (manifest schema_version) they were written under, and the
-# era map in the manifest translates id → that era's physical column name.
-# Reads resolve columns BY ID per era, so: a renamed column keeps reading
-# its old physical name from old files; a dropped-then-re-added name gets
-# a FRESH id, so old bytes under the same name stay invisible. Files from
-# before this feature carry no era tag ("sv") and are read by name — safe
-# because names were never renamed before ids existed; rename (and re-add
-# of a dropped name) stays refused while such legacy files remain (one
-# compaction rewrite clears them).
+# Every logical column has a stable integer id (manifest key ``columns``:
+# ``[{id, name, type}]``, plus ``next_column_id``). Data files record the
+# schema era (manifest ``schema_version``) they were written under as an
+# ``"sv"`` tag on their manifest entry, and the era map (manifest key
+# ``schemas``: ``{sv: columns}``) translates id → that era's physical
+# column name. Reads resolve columns BY ID per era, so:
+#
+# - a RENAMED column keeps reading its old physical name from old files
+#   (``rename_column`` is a metadata-only commit);
+# - a DROPPED-then-re-added name gets a FRESH id, so the old bytes still
+#   sitting under that name in un-rewritten files stay invisible (the
+#   dropped id is in no live column set, and the fresh id is absent from
+#   the old eras → NULL).
+#
+# Manifests written before this feature carry no ``columns``; on the next
+# commit they are upgraded in place: ids are assigned in schema order and
+# every file entry is stamped with the then-current schema_version — sound
+# because physical names were never renamed before ids existed, so each
+# such file's physical names are a by-name subset of that era's columns.
 
 
 def _cols_to_schema(cols: list[dict]) -> T.StructType:
@@ -158,6 +222,26 @@ def _schema_to_cols(schema: T.StructType, start_id: int = 1) -> list[dict]:
         {"id": start_id + i, "name": f.name, "type": f.dataType.jsonValue()}
         for i, f in enumerate(schema.fields)
     ]
+
+
+def _merge_columns(
+    cols: list[dict], next_id: int, delta: T.StructType
+) -> tuple[list[dict], int]:
+    """Id-aware additive merge: existing names keep their id (type change
+    is incompatible); unknown names — including a previously dropped name —
+    are appended with a FRESH id."""
+    by_name = {c["name"]: c for c in cols}
+    out = [dict(c) for c in cols]
+    for f in delta.fields:
+        c = by_name.get(f.name)
+        if c is None:
+            out.append({"id": next_id, "name": f.name, "type": f.dataType.jsonValue()})
+            next_id += 1
+        elif T._parse_datatype_json_value(c["type"]) != f.dataType:
+            raise IncompatibleSchemaChange(
+                f"column {f.name!r}: {c['type']} -> {f.dataType.simpleString()}"
+            )
+    return out, next_id
 
 
 class LakeTable:
@@ -253,6 +337,82 @@ class LakeTable:
         snap = self.current_snapshot()
         return T.StructType.fromJson(snap["schema"]) if snap else None
 
+    # ---------------- field-id plumbing ----------------
+
+    @staticmethod
+    def _upgraded(snap: dict) -> tuple[list[dict], int, list[dict], dict[str, list[dict]]]:
+        """(columns, next_column_id, files-with-sv, era map) for a snapshot,
+        upgrading a pre-field-id manifest in place (see the field-id note
+        above ``_merge_columns``)."""
+        sv = snap["schema_version"]
+        cols = snap.get("columns")
+        if cols is None:
+            cols = _schema_to_cols(T.StructType.fromJson(snap["schema"]))
+        next_id = int(snap.get("next_column_id", len(cols) + 1))
+        files = [dict(f) for f in snap["files"]]
+        for f in files:
+            f.setdefault("sv", sv)
+        schemas = {str(k): v for k, v in snap.get("schemas", {}).items()}
+        schemas.setdefault(str(sv), cols)
+        return cols, next_id, files, schemas
+
+    def _read_files(self, files: list[dict], snap: dict) -> DataFrame:
+        """Read a set of this table's data files through a snapshot's
+        logical schema, resolving columns BY FIELD ID per era.
+
+        Files are grouped by the *projection* their era implies (not by raw
+        era tag): eras with no rename between them share one parquet scan,
+        so the common single-era / never-renamed table stays one multi-path
+        scan with full pushdown, exactly as a by-name read. Only files whose
+        era physically names a column differently (a rename happened since
+        they were written) get a separate scan + rename-projection, unioned
+        by name. Manifests predating field ids fall back to by-name."""
+        schema = T.StructType.fromJson(snap["schema"])
+        paths_of = lambda fs: [os.path.join(self.root, f["path"]) for f in fs]  # noqa: E731
+        cols = snap.get("columns")
+        if cols is None:
+            return self.spark.read.schema(schema).parquet(*paths_of(files))
+        schemas = snap.get("schemas", {})
+        cur_sv = str(snap["schema_version"])
+        # projection key per era: tuple of the era's physical name for each
+        # current id (None -> column didn't exist yet -> NULL)
+        proj_cache: dict[str, tuple] = {}
+
+        def projection(sv: str) -> tuple:
+            if sv not in proj_cache:
+                era = {c["id"]: c["name"] for c in schemas.get(sv, cols)}
+                proj_cache[sv] = tuple(era.get(c["id"]) for c in cols)
+            return proj_cache[sv]
+
+        groups: dict[tuple, list[dict]] = {}
+        for f in files:
+            groups.setdefault(projection(str(f.get("sv", cur_sv))), []).append(f)
+
+        parts = []
+        for proj, fs in groups.items():
+            read_fields = [
+                T.StructField(phys, T._parse_datatype_json_value(c["type"]), True)
+                for phys, c in zip(proj, cols)
+                if phys is not None
+            ]
+            df = self.spark.read.schema(T.StructType(read_fields)).parquet(*paths_of(fs))
+            if proj != tuple(c["name"] for c in cols):
+                df = df.select(
+                    *[
+                        F.col(phys).alias(c["name"])
+                        if phys is not None
+                        else F.lit(None)
+                        .cast(T._parse_datatype_json_value(c["type"]))
+                        .alias(c["name"])
+                        for phys, c in zip(proj, cols)
+                    ]
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ---------------- read paths ----------------
 
     def read(
@@ -285,11 +445,11 @@ class LakeTable:
             if not files:
                 df = self.spark.createDataFrame([], schema)
             else:
-                paths = [os.path.join(self.root, f["path"]) for f in files]
-                # Explicit schema = old files are read through the evolved
-                # schema (absent columns -> NULL); column pruning and
-                # predicate pushdown still reach the parquet scan.
-                df = self.spark.read.schema(schema).parquet(*paths)
+                # Era-aware read (field ids): old files are read through the
+                # evolved schema (absent columns -> NULL, renamed columns
+                # resolved by id); column pruning and predicate pushdown
+                # still reach the parquet scan.
+                df = self._read_files(files, snap)
         if has_delta:
             from ..operators.cdc import lww_resolve
 
@@ -352,8 +512,35 @@ class LakeTable:
         schema = T.StructType.fromJson(new["schema"])
         if not added:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f["path"]) for f in added]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_files(added, new)
+
+    def _metadata_evolution(
+        self, snap: dict, new_cols: list[dict], next_id: int, extra: dict | None = None
+    ) -> dict:
+        """Commit a metadata-only schema change (drop/rename): no data
+        files touched, schema_version bumped, era map retains every era a
+        live file still reads through."""
+        _, _, files, schemas = self._upgraded(snap)
+        new_sv = snap["schema_version"] + 1
+        live_svs = {str(f["sv"]) for f in files}
+        manifest = {
+            **snap,
+            "snapshot_id": snap["snapshot_id"] + 1,
+            "parent_id": snap["snapshot_id"],
+            "committed_at": time.time(),
+            "schema": json.loads(_cols_to_schema(new_cols).json()),
+            "schema_version": new_sv,
+            "columns": new_cols,
+            "next_column_id": next_id,
+            "files": files,
+            "schemas": {
+                **{sv: c for sv, c in schemas.items() if sv in live_svs},
+                str(new_sv): new_cols,
+            },
+            **(extra or {}),
+        }
+        self._commit(manifest)
+        return manifest
 
     def drop_column(self, name: str) -> dict:
         """Schema evolution beyond additive: drop a payload column with a
@@ -362,42 +549,59 @@ class LakeTable:
         the bytes in existing files go dead and fall out at the next
         compaction rewrite.
 
-        The dropped NAME is tombstoned forever: these files carry no
-        per-field ids (Iceberg's mechanism), so re-adding a same-named
-        column would resurrect the old bytes from un-rewritten files —
-        merge rejects it instead. KEY/ORDER/engine columns are protected.
-        Rename is deliberately unsupported (= drop + add, i.e. data loss
-        without field ids)."""
+        Field ids make the drop safe against re-adds: a later column with
+        the same NAME gets a fresh id, and reads resolve by id per era, so
+        the dead bytes in un-rewritten files can never resurrect.
+        KEY/ORDER/engine columns are protected."""
         protected = {*KEY, *ORDER, "_deleted"}
         if name in protected:
             raise ValueError(f"column {name!r} is engine-required")
         snap = self.current_snapshot()
         if snap is None:
             raise ValueError("table has no snapshot yet")
-        schema = T.StructType.fromJson(snap["schema"])
-        if name not in {f.name for f in schema.fields}:
+        cols, next_id, _, _ = self._upgraded(snap)
+        if name not in {c["name"] for c in cols}:
             raise ValueError(f"no such column {name!r}")
-        new_schema = T.StructType([f for f in schema.fields if f.name != name])
-        manifest = {
-            **snap,
-            "snapshot_id": snap["snapshot_id"] + 1,
-            "parent_id": snap["snapshot_id"],
-            "committed_at": time.time(),
-            "schema": json.loads(new_schema.json()),
-            "schema_version": snap["schema_version"] + 1,
-            "dropped_columns": sorted({*snap.get("dropped_columns", []), name}),
-        }
-        self._commit(manifest)
+        new_cols = [c for c in cols if c["name"] != name]
+        # dropped_columns is recorded for operator visibility only —
+        # re-adding the name is allowed (it gets a fresh field id)
+        manifest = self._metadata_evolution(
+            snap,
+            new_cols,
+            next_id,
+            extra={"dropped_columns": sorted({*snap.get("dropped_columns", []), name})},
+        )
         return {"dropped": name, "snapshot_id": manifest["snapshot_id"]}
 
+    def rename_column(self, old: str, new: str) -> dict:
+        """Rename a payload column — metadata-only commit (≙ Iceberg
+        rename). The column keeps its field id; old data files keep their
+        old physical name and reads resolve it by id through the era map,
+        so no data is rewritten and nothing is lost."""
+        protected = {*KEY, *ORDER, "_deleted"}
+        if old in protected:
+            raise ValueError(f"column {old!r} is engine-required")
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("table has no snapshot yet")
+        cols, next_id, _, _ = self._upgraded(snap)
+        names = {c["name"] for c in cols}
+        if old not in names:
+            raise ValueError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        new_cols = [{**c, "name": new} if c["name"] == old else c for c in cols]
+        manifest = self._metadata_evolution(snap, new_cols, next_id)
+        return {"renamed": [old, new], "snapshot_id": manifest["snapshot_id"]}
+
     def bucket_of(self, conv_id: str) -> int:
-        """The bucket a conversation lives in (same xxhash64 as the write
-        path — computed through Spark so the two can never drift)."""
-        return int(
-            self.spark.range(1)
-            .select(bucket_expr(self.num_buckets, col=None, lit=conv_id))
-            .collect()[0][0]
-        )
+        """The bucket a conversation lives in — driver-side XXH64 (same
+        algorithm + seed as the write path's ``F.xxhash64``; parity pinned
+        by a test), so a point lookup costs exactly ONE Spark job (the
+        pruned read), not a scheduling round-trip to hash the key."""
+        h = xxhash64(conv_id.encode("utf-8"))
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        return signed % self.num_buckets
 
     def read_conversation(self, conv_id: str, include_tombstones: bool = False) -> DataFrame:
         """Point lookup: manifest bucket pruning (hash the key, read only
@@ -558,35 +762,31 @@ class LakeTable:
 
         delta_schema = T.StructType([f for f in delta.schema.fields if f.name != "_bucket"])
         if snap:
-            old_schema = T.StructType.fromJson(snap["schema"])
-            dead = {f.name for f in delta_schema.fields} & set(snap.get("dropped_columns", []))
-            legacy_files = any("sv" not in f for f in snap["files"])
-            if dead and legacy_files:
-                # only the pre-field-id files are read by NAME; once a
-                # compaction has rewritten them (every file carries an era
-                # tag), a re-added name gets a fresh id and old bytes stay
-                # invisible — so the rejection applies only while legacy
-                # files remain
-                raise IncompatibleSchemaChange(
-                    f"column(s) {sorted(dead)} were dropped and pre-field-id files remain; "
-                    "re-adding the name would resurrect old bytes — compact first"
-                )
-            new_schema = _merge_schemas(old_schema, delta_schema)
+            # Field-id schema merge: known names keep their id, new names
+            # (incl. a re-added dropped name) get fresh ids — old bytes in
+            # un-rewritten files stay invisible because reads resolve by id.
+            cols, next_id, snap_files, schemas = self._upgraded(snap)
+            new_cols, next_id = _merge_columns(cols, next_id, delta_schema)
+            new_schema = _cols_to_schema(new_cols)
+            new_sv = snap["schema_version"] + (1 if new_cols != cols else 0)
             if mode == "mor" and not replace_buckets:
                 # merge-on-read: existing files are untouched (all carried);
                 # the batch's winners land beside them as delta files.
-                old_files, carried = [], list(snap["files"])
+                old_files, carried = [], snap_files
             else:
                 # replace_buckets: the delta IS the new content of the touched
                 # buckets (compaction/GC path) — don't union the old files.
                 old_files = (
                     []
                     if replace_buckets
-                    else [f for f in snap["files"] if f["bucket"] in set(touched)]
+                    else [f for f in snap_files if f["bucket"] in set(touched)]
                 )
-                carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
+                carried = [f for f in snap_files if f["bucket"] not in set(touched)]
         else:
-            new_schema, old_files, carried = delta_schema, [], []
+            new_cols = _schema_to_cols(delta_schema)
+            next_id = len(new_cols) + 1
+            new_schema = _cols_to_schema(new_cols)
+            new_sv, old_files, carried, schemas = 1, [], [], {}
 
         cols = [f.name for f in new_schema.fields]
 
@@ -602,8 +802,9 @@ class LakeTable:
         dict_types = {f.name: f.dataType for f in new_schema.fields}
         sides = [_conform(delta)]
         if old_files:
-            paths = [os.path.join(self.root, f["path"]) for f in old_files]
-            sides.append(self.spark.read.schema(new_schema).parquet(*paths))
+            # era-aware: a renamed column's old physical name is resolved
+            # by field id, then _conform pads columns the delta introduced
+            sides.append(_conform(self._read_files(old_files, snap)))
         unioned = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
 
         # LWW reduce (one aggregation shuffle with map-side partial combine
@@ -673,7 +874,7 @@ class LakeTable:
             b = int(bdir.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(commit_dir, bdir))):
                 if fn.endswith(".parquet"):
-                    entry = {"path": f"{commit_rel}/{bdir}/{fn}", "bucket": b}
+                    entry = {"path": f"{commit_rel}/{bdir}/{fn}", "bucket": b, "sv": new_sv}
                     if mode == "mor" and not replace_buckets:
                         entry["kind"] = "delta"
                     if replace_buckets:
@@ -726,15 +927,24 @@ class LakeTable:
             "buckets_touched": len(touched),
         }
 
+        files_out = carried + new_files
+        live_svs = {str(f["sv"]) for f in files_out if "sv" in f}
         manifest = {
             "format_version": FORMAT_VERSION,
             "snapshot_id": new_version,
             "parent_id": snap["snapshot_id"] if snap else None,
             "committed_at": time.time(),
             "schema": json.loads(new_schema.json()),
-            "schema_version": (snap["schema_version"] + (1 if snap and json.loads(new_schema.json()) != snap["schema"] else 0)) if snap else 1,
+            "schema_version": new_sv,
+            "columns": new_cols,
+            "next_column_id": next_id,
+            # era map bounded: only eras a live file still reads through
+            "schemas": {
+                **{sv: c for sv, c in schemas.items() if sv in live_svs},
+                str(new_sv): new_cols,
+            },
             "num_buckets": self.num_buckets,
-            "files": carried + new_files,
+            "files": files_out,
             "watermarks": watermarks,
             "applied_batches": applied,
             "dropped_columns": snap.get("dropped_columns", []) if snap else [],

@@ -155,13 +155,34 @@ def test_wap_stage_audit_publish_and_abort(spark, tmp_path):
         table.abort_snapshot(1)
 
 
-def test_drop_column_metadata_only_and_name_tombstoned(spark, tmp_path):
-    """Dropping a column is a metadata-only commit: reads stop seeing it
-    immediately, no data files change, and the name can never be re-added
-    (old bytes in un-rewritten files would resurrect)."""
-    import pytest as _pytest
+def test_driver_side_xxhash64_parity(spark):
+    """bucket_of computes the bucket driver-side; it must agree bit-for-bit
+    with the write path's F.xxhash64 expression for any key — covering all
+    XXH64 length regimes (<4, <8, <32, >=32 bytes) and multi-byte UTF-8."""
+    import random
 
-    from dibbs_ecr_refiner_spark.lake.table import IncompatibleSchemaChange
+    from dibbs_ecr_refiner_spark.lake.table import xxhash64
+
+    rng = random.Random(7)
+    keys = ["", "a", "conv", "c" * 31, "c" * 32, "c" * 100, "naïve-Ωλ⚡", "日本語のキー"]
+    keys += ["conv-%d-%s" % (i, "x" * rng.randrange(0, 64)) for i in range(50)]
+    rows = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["h"]
+        for r in rows.select("k", F.xxhash64("k").alias("h")).collect()
+    }
+    for k in keys:
+        h = xxhash64(k.encode("utf-8"))
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == got[k], k
+
+
+def test_drop_column_metadata_only_then_readd_gets_fresh_field_id(spark, tmp_path):
+    """Dropping a column is a metadata-only commit: reads stop seeing it
+    immediately and no data files change. Re-adding the same NAME is
+    allowed — it gets a fresh field id, so the old bytes still sitting in
+    un-rewritten files stay invisible (NULL), never resurrected."""
+    import pytest as _pytest
 
     table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
     evolved = _delta(spark, [("c2", 0, "v2", 2, False, None)]).withColumn("metadata", F.lit("m"))
@@ -173,14 +194,120 @@ def test_drop_column_metadata_only_and_name_tombstoned(spark, tmp_path):
     assert {f["path"] for f in table.current_snapshot()["files"]} == files_before
     assert table.current_snapshot()["schema_version"] == 3
 
-    with _pytest.raises(IncompatibleSchemaChange):
-        table.merge(
-            _delta(spark, [("c3", 0, "v3", 3, False, None)]).withColumn("metadata", F.lit("x")),
-            "b2",
-        )
+    # re-add the dropped name: new rows carry it, old bytes stay invisible
+    table.merge(
+        _delta(spark, [("c3", 0, "v3", 3, False, None)]).withColumn("metadata", F.lit("x")),
+        "b2",
+    )
+    rows = {r["conv_id"]: r["metadata"] for r in table.read().collect()}
+    assert rows == {"c1": None, "c2": None, "c3": "x"}  # c2's old "m" must NOT resurrect
+
     # engine columns are protected
     with _pytest.raises(ValueError):
         table.drop_column("conv_id")
+
+
+def test_rename_column_metadata_only_resolves_old_files_by_field_id(spark, tmp_path):
+    """Rename is a metadata-only commit (≙ Iceberg rename via field ids):
+    old data files keep the old physical name and reads resolve it by id;
+    post-rename writes use the new name; a COW rewrite that unions old
+    files must not lose the renamed column's data."""
+    import pytest as _pytest
+
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    table.merge(
+        _delta(spark, [("c2", 0, "v2", 2, False, None)]).withColumn("meta", F.lit("m2")),
+        "b1",
+    )
+    files_before = {f["path"] for f in table.current_snapshot()["files"]}
+
+    table.rename_column("meta", "metadata")
+    assert {f["path"] for f in table.current_snapshot()["files"]} == files_before
+    assert "metadata" in table.read().columns and "meta" not in table.read().columns
+    # old file's bytes surface under the new name
+    assert {r["conv_id"]: r["metadata"] for r in table.read().collect()} == {
+        "c1": None,
+        "c2": "m2",
+    }
+
+    # a post-rename COW merge touching c2's bucket rewrites the old file —
+    # the renamed column's data must survive the era-aware union
+    table.merge(
+        _delta(spark, [("c2", 1, "new turn", 3, False, None)]).withColumn(
+            "metadata", F.lit("m3")
+        ),
+        "b2",
+    )
+    rows = {(r["conv_id"], r["turn_idx"]): r["metadata"] for r in table.read().collect()}
+    assert rows[("c2", 0)] == "m2" and rows[("c2", 1)] == "m3"
+
+    # rename the renamed column again (id is stable across renames)
+    table.rename_column("metadata", "meta2")
+    assert {r["meta2"] for r in table.read().where("conv_id='c2'").collect()} == {"m2", "m3"}
+
+    with _pytest.raises(ValueError):
+        table.rename_column("conv_id", "cid")
+    with _pytest.raises(ValueError):
+        table.rename_column("meta2", "role")  # collision
+    with _pytest.raises(ValueError):
+        table.rename_column("nope", "x")
+
+
+def test_rename_then_drop_then_readd_and_time_travel(spark, tmp_path):
+    """The full evolution gauntlet: rename → drop → re-add same name. The
+    re-added name must not read the renamed-away bytes either, and time
+    travel still reads each snapshot through its own era."""
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    table.merge(
+        _delta(spark, [("c2", 0, "v2", 2, False, None)]).withColumn("tag", F.lit("t2")),
+        "b1",
+    )
+    v_before = table.current_snapshot()["snapshot_id"]
+
+    table.rename_column("tag", "label")
+    table.drop_column("label")
+    assert "label" not in table.read().columns and "tag" not in table.read().columns
+    # re-add under the ORIGINAL name: fresh id — old bytes invisible
+    table.merge(
+        _delta(spark, [("c3", 0, "v3", 3, False, None)]).withColumn("tag", F.lit("t3")),
+        "b2",
+    )
+    rows = {r["conv_id"]: r["tag"] for r in table.read().collect()}
+    assert rows == {"c1": None, "c2": None, "c3": "t3"}
+
+    # time travel: the pre-rename snapshot still reads the old era's names
+    old = table.read(version=v_before)
+    assert "tag" in old.columns
+    assert {r["conv_id"]: r["tag"] for r in old.collect()} == {"c1": None, "c2": "t2"}
+
+
+def test_rename_under_mor_deltas_and_compaction(spark, tmp_path):
+    """Rename with pending merge-on-read delta files: read-time LWW spans
+    files from two eras; compaction folds them and clears the old era from
+    the manifest's era map."""
+    from dibbs_ecr_refiner_spark.lake import maintenance
+
+    table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
+    table.merge(
+        _delta(spark, [("c1", 0, "v1b", 2, False, None)]).withColumn("m", F.lit("a")),
+        "b1",
+        mode="mor",
+    )
+    table.rename_column("m", "meta")
+    table.merge(
+        _delta(spark, [("c1", 1, "v2", 3, False, None)]).withColumn("meta", F.lit("b")),
+        "b2",
+        mode="mor",
+    )
+    rows = {(r["conv_id"], r["turn_idx"]): (r["text"], r["meta"]) for r in table.read().collect()}
+    assert rows == {("c1", 0): ("v1b", "a"), ("c1", 1): ("v2", "b")}
+
+    maintenance.compact(table)
+    snap = table.current_snapshot()
+    # all live files now written under the current era → era map is just it
+    assert set(snap["schemas"].keys()) == {str(snap["schema_version"])}
+    rows2 = {(r["conv_id"], r["turn_idx"]): (r["text"], r["meta"]) for r in table.read().collect()}
+    assert rows2 == rows
 
 
 def test_incompatible_type_change_fails(spark):

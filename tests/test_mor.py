@@ -107,6 +107,35 @@ def test_mor_fold_converges_to_cow(spark, tmp_path, changes):
     assert _rows(mor_table.read()) == _rows(cow_table.read())
 
 
+def test_auto_mode_switches_cow_to_mor_and_converges(spark, tmp_path, changes):
+    """The default replay mode is auto: COW while the batch is large
+    relative to the table (bulk backfill), MOR once the table dwarfs the
+    batch — and a completed auto replay is fully converged (plain read ==
+    batch oracle, displays included) thanks to the final delta fold."""
+    table, eng = _fresh(spark, tmp_path)
+    stats = eng.replay(changes)  # default mode="auto"
+    assert stats.batches == PARAMS.n_batches
+
+    # mode switching actually happened: the first batch(es) committed COW
+    # (no delta files at that snapshot), later batches committed deltas
+    kinds_by_snapshot = []
+    for rec in stats.lineage:
+        snap = table.snapshot(rec["snapshot_id"])
+        new_paths = {f["path"]: f for f in snap["files"]}
+        prev = table.snapshot(rec["snapshot_id"] - 1) if rec["snapshot_id"] > 1 else None
+        prev_paths = {f["path"] for f in prev["files"]} if prev else set()
+        added = [f for p, f in new_paths.items() if p not in prev_paths]
+        kinds_by_snapshot.append({f.get("kind", "base") for f in added})
+    assert "base" in kinds_by_snapshot[0], "first batch into an empty table must be COW"
+    assert any("delta" in k for k in kinds_by_snapshot[1:]), "steady-state batches must be MOR"
+
+    # converged at completion: no pending deltas, plain read == oracle
+    assert not any(
+        f.get("kind", "base") == "delta" for f in table.current_snapshot()["files"]
+    )
+    assert _rows(table.read()) == _rows(batch_oracle(changes, eng.plan).select(*CMP_COLS))
+
+
 def test_mor_replay_with_periodic_fold_matches_oracle(spark, tmp_path, changes):
     table, eng = _fresh(spark, tmp_path)
     eng.replay(changes, mode="mor", fold_every=2)
