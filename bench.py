@@ -48,9 +48,11 @@ HEADLINE = [
 
 # CDC replay workload (same generator params in every mode)
 REPLAY_EVENTS = int(os.environ.get("SPARK_GRAFT_REPLAY_EVENTS", "2000000"))
-# commit mode for the scaling/worker paths (cow | mor): the scaling
-# criterion is mode-agnostic, so both can be evidenced
-REPLAY_MODE = os.environ.get("SPARK_GRAFT_REPLAY_MODE", "cow")
+# commit mode for the scaling/worker paths (auto | cow | mor): default is
+# the ENGINE default (auto = COW for bulk backfill batches, MOR at steady
+# state, final fold), so the scaling evidence measures the configuration a
+# user actually gets; cow/mor remain selectable to evidence each mode
+REPLAY_MODE = os.environ.get("SPARK_GRAFT_REPLAY_MODE", "auto")
 REPLAY_PARAMS = dict(
     n_conversations=20_000,
     turns_per_conv=24,
@@ -180,11 +182,15 @@ def main_bench() -> None:
     try:
         log_path = os.path.join(work, "changelog")
         n_events = _make_changelog(spark, log_path)
+        # Headline replay runs the ENGINE DEFAULT (auto: COW while batch ≈
+        # table, MOR at steady state, final fold) — the number a user gets
+        # out of the box; the explicit cow/mor runs below decompose it.
         t0 = time.time()
-        stats, _ = _replay(spark, log_path, os.path.join(work, "lake"))
+        stats, _ = _replay(spark, log_path, os.path.join(work, "lake"), mode="auto")
         replay_sec = time.time() - t0
         times["cdc_replay"] = round(replay_sec, 3)
         cdc = {
+            "mode": "auto",
             "events": n_events,
             "seconds": round(replay_sec, 3),
             "events_per_sec": round(n_events / replay_sec, 1),
@@ -251,6 +257,27 @@ def main_bench() -> None:
         _replay(spark, log2, os.path.join(work, "lake_mor"), mode="mor")
         ss_mor_sec = time.time() - t0
         mor_bytes = _du(os.path.join(work, "lake_mor", "data")) - mor_b0
+        # DEFAULT mode at steady state: auto resolves every batch to MOR
+        # (table ≫ batch) and folds once at the end — the out-of-the-box
+        # steady-state number, expected ≈ MOR + one amortized fold.
+        log3 = os.path.join(work, "changelog_ss2")
+        write_changes(
+            spark,
+            log3,
+            ChangeLogParams(
+                **dict(
+                    REPLAY_PARAMS,
+                    n_events=ss_events,
+                    base_lsn=REPLAY_EVENTS + 2_000_000,
+                    batch_prefix="ss2",
+                )
+            ),
+        )
+        auto_b0 = _du(os.path.join(work, "lake", "data"))
+        t0 = time.time()
+        _replay(spark, log3, os.path.join(work, "lake"), mode="auto")
+        ss_auto_sec = time.time() - t0
+        auto_bytes = _du(os.path.join(work, "lake", "data")) - auto_b0
         cdc["steady_state"] = {
             "events": ss_events,
             "cow": {
@@ -262,6 +289,11 @@ def main_bench() -> None:
                 "seconds": round(ss_mor_sec, 3),
                 "events_per_sec": round(ss_events / ss_mor_sec, 1),
                 "bytes_written": mor_bytes,
+            },
+            "auto_default": {
+                "seconds": round(ss_auto_sec, 3),
+                "events_per_sec": round(ss_events / ss_auto_sec, 1),
+                "bytes_written": auto_bytes,
             },
             "write_amplification_cow_over_mor": round(cow_bytes / max(mor_bytes, 1), 1),
         }

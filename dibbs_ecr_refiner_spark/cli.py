@@ -171,6 +171,66 @@ def cmd_events(args) -> dict:
     }
 
 
+def cmd_refine_one(args) -> dict:
+    """Interactive simulator (≙ the reference's simulator surface,
+    refiner/app/api/v1/simulator.py:58,137,194 + services/testing.py:200-308):
+    run a chosen config version against ONE stored conversation and show
+    the per-turn diff — which turns a new config would keep, drop, or
+    re-match — WITHOUT writing anything. The read is a bucket-pruned point
+    lookup; refinement is the same compiled expression pass the engine
+    runs, over a handful of rows."""
+    from pyspark.sql import functions as F
+
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+    from dibbs_ecr_refiner_spark.operators.refine import compile_refinement
+    from dibbs_ecr_refiner_spark.plans.config import default_plan
+    from dibbs_ecr_refiner_spark.sources import ConfigStore
+
+    spark = _spark(args)
+    plan = (
+        ConfigStore(spark, args.config).load_plan(version=args.config_version)
+        if args.config
+        else default_plan()
+    )
+    table = LakeTable(spark, args.table, num_buckets=args.buckets)
+    cur = table.read_conversation(args.conv, include_tombstones=True)
+    payload = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "extra", "items") if c in cur.columns]
+    before = cur.select(
+        *payload,
+        F.col("_deleted").alias("_was_deleted"),
+        F.col("_outcome").alias("_outcome_before"),
+        F.col("_matched_code").alias("_code_before"),
+    )
+    sim = compile_refinement(plan)(before)
+    rows = sim.orderBy("turn_idx").collect()
+    turns, n_changed = [], 0
+    for r in rows:
+        keep_before = not r["_was_deleted"]
+        keep_after = bool(r["_keep"])
+        changed = (keep_before != keep_after) or (r["_outcome_before"] != r["_outcome"]) or (
+            r["_code_before"] != r["_matched_code"]
+        )
+        n_changed += changed
+        t = {
+            "turn_idx": r["turn_idx"],
+            "role": r["role"],
+            "before": {"kept": keep_before, "outcome": r["_outcome_before"], "code": r["_code_before"]},
+            "after": {"kept": keep_after, "outcome": r["_outcome"], "code": r["_matched_code"]},
+            "changed": changed,
+        }
+        if changed:
+            t["text_after"] = r["text"]
+        turns.append(t)
+    return {
+        "cmd": "refine-one",
+        "conv_id": args.conv,
+        "config_version": plan.config_version,
+        "n_turns": len(turns),
+        "n_changed": n_changed,
+        "turns": turns if not args.diff_only else [t for t in turns if t["changed"]],
+    }
+
+
 def cmd_show(args) -> dict:
     from dibbs_ecr_refiner_spark.lake.table import LakeTable
 
@@ -208,8 +268,10 @@ def main(argv=None) -> int:
     r.add_argument("--table", required=True)
     r.add_argument("--config", default=None, help="config store root (default: built-in plan)")
     r.add_argument("--buckets", type=int, default=64)
-    r.add_argument("--mode", choices=["cow", "mor"], default="cow",
-                   help="cow rewrites touched buckets; mor commits delta files resolved at read")
+    r.add_argument("--mode", choices=["auto", "cow", "mor"], default="auto",
+                   help="auto (default) picks cow for bulk backfill and mor at steady state "
+                        "with a final fold; cow rewrites touched buckets; mor commits delta "
+                        "files resolved at read")
     r.add_argument("--fold-every", type=int, default=None,
                    help="mor only: compact deltas every N committed batches")
 
@@ -246,6 +308,19 @@ def main(argv=None) -> int:
     rb.add_argument("--table", required=True)
     rb.add_argument("--to-buckets", type=int, required=True)
 
+    ro = sub.add_parser(
+        "refine-one",
+        help="simulator: run a config against one conversation, show the per-turn diff",
+    )
+    ro.add_argument("--table", required=True)
+    ro.add_argument("--conv", required=True, help="conversation id to simulate on")
+    ro.add_argument("--buckets", type=int, default=64)
+    ro.add_argument("--config", default=None, help="config store root (default: built-in plan)")
+    ro.add_argument("--config-version", type=int, default=None,
+                    help="store version to simulate (default: active)")
+    ro.add_argument("--diff-only", action="store_true",
+                    help="emit only the turns whose outcome would change")
+
     ch = sub.add_parser("changes", help="incremental scan: rows added between snapshots")
     ch.add_argument("--table", required=True)
     ch.add_argument("--buckets", type=int, default=64)
@@ -265,6 +340,7 @@ def main(argv=None) -> int:
         "rebucket": cmd_rebucket,
         "expire": cmd_expire,
         "export": cmd_export,
+        "refine-one": cmd_refine_one,
     }[args.cmd](args)
     print(json.dumps(out))
     return 0

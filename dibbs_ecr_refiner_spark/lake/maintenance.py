@@ -146,7 +146,18 @@ def gc_orphans(table: LakeTable, min_age_sec: float = 3600.0) -> dict:
 
     for token_dir in os.listdir(table._staging_dir):
         p = os.path.join(table._staging_dir, token_dir)
-        if now - os.path.getmtime(p) >= min_age_sec:
+        # Age by the NEWEST mtime under the dir, not the dir's own: an
+        # in-flight Spark write keeps creating task files, so a long write
+        # (longer than min_age_sec) still reads as active and can't have
+        # its staging torn out from under the commit's finalize rename.
+        newest = os.path.getmtime(p)
+        for dirpath, _dirs, files in os.walk(p):
+            for fn in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
+                except OSError:
+                    newest = now  # file churned mid-walk => writer active
+        if now - newest >= min_age_sec:
             shutil.rmtree(p, ignore_errors=True)
             removed_dirs += 1
 

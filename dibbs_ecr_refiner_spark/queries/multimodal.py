@@ -45,14 +45,88 @@ def _decode_stub(payload: bytes) -> dict:
     return {"n_bytes": n, "width": width, "height": height, "feat": feat}
 
 
-def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_ppm(payload: bytes) -> dict | None:
+    """Pure-Python decoder for binary PPM (P6) images: header gives
+    width/height; features are the mean R/G/B of the raster plus fill
+    ratio. A REAL codec (bytes → pixels), not a stub — PPM needs no
+    external library, so the mapInPandas path is exercised on real pixel
+    data even in this container."""
+    if not payload.startswith(b"P6"):
+        return None
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    fields, i = [], 2
+    while len(fields) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    raster = payload[i : i + 3 * w * h]
+    n_px = max(1, len(raster) // 3)
+    sums = [0, 0, 0]
+    lit = 0
+    for p in range(n_px):
+        r, g, b = raster[3 * p], raster[3 * p + 1], raster[3 * p + 2]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        lit += (r + g + b) > 0
+    feat = [s / n_px / maxval for s in sums] + [lit / n_px]
+    return {"n_bytes": len(payload), "width": w, "height": h, "feat": feat}
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """Pure-Python decoder for RIFF/WAVE headers: channels and sample rate
+    from the fmt chunk (reported as width/height — the schema's two int
+    slots), features = [channels, sample_rate/1000, bits, data_seconds]."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    channels = rate = bits = data_len = 0
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_len = sz
+        i += 8 + sz + (sz & 1)
+    bytes_per_sec = max(1, rate * channels * max(1, bits // 8))
+    feat = [float(channels), rate / 1000.0, float(bits), data_len / bytes_per_sec]
+    return {"n_bytes": len(payload), "width": channels, "height": rate, "feat": feat}
+
+
+def decode_basic(payload: bytes) -> dict:
+    """Pluggable default REAL decoder: magic-byte dispatch to the pure-
+    Python codecs (PPM image, WAV audio), falling back to the deterministic
+    stub for formats that need external libraries (JPEG/PNG/MP3 — absent in
+    this container; plug a PIL/ffmpeg-backed callable in production)."""
+    return decode_ppm(payload) or decode_wav(payload) or _decode_stub(payload)
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload", decoder=None) -> DataFrame:
     """mapInPandas decode: Arrow batches in, Arrow batches out — the
     vectorized shape a real decoder plugs into (one python worker per
-    partition, zero per-row serde)."""
+    partition, zero per-row serde). ``decoder`` is any
+    ``bytes -> {n_bytes, width, height, feat}`` callable — the pluggable
+    codec interface; defaults to the deterministic stub (the driver
+    contract's rows-only op), with ``decode_basic`` as a real-bytes
+    implementation for PPM/WAV."""
+    decoder = decoder or _decode_stub
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf[payload_col].map(_decode_stub)
+            meta = pdf[payload_col].map(decoder)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -180,10 +180,23 @@ def dedup_exact(spark, sf):
 # ------------------------------------------------- n-gram Jaccard near-dup
 
 
+# Document-frequency cap for the gram blocking join: a gram shared by more
+# than this many documents is boilerplate (stopword-grade), carries no
+# near-dup signal, and — critically at scale — would make its join block
+# quadratic (one ubiquitous gram across N docs = N² candidate pairs). The
+# cap is part of the OPERATOR SEMANTICS (Jaccard over informative grams),
+# mirrored exactly in the oracle SQL, so capped Spark == capped DuckDB.
+_NGRAM_DF_CAP = 32
+
+
 @q(
     "dedup_ngram_jaccard",
     f"""
-    WITH grams AS (SELECT DISTINCT doc_id, g FROM ({_NGRAM_SQL})),
+    WITH grams0 AS (SELECT DISTINCT doc_id, g FROM ({_NGRAM_SQL})),
+    grams AS (
+      SELECT doc_id, g FROM grams0
+      WHERE g IN (SELECT g FROM grams0 GROUP BY g
+                  HAVING COUNT(*) <= {_NGRAM_DF_CAP})),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
@@ -198,13 +211,22 @@ def dedup_exact(spark, sf):
     """,
 )
 def dedup_ngram_jaccard(spark, sf):
-    """Near-dup by word-3-gram Jaccard ≥ 0.35. Candidate pairs come from a
-    self-join on shared n-grams (blocking), never a cross join; the ratio
-    is exact integer arithmetic → bit-stable."""
-    grams = (
+    """Near-dup by word-3-gram Jaccard ≥ 0.35 over informative grams
+    (document frequency ≤ {cap}). Candidate pairs come from a self-join on
+    shared n-grams (blocking), never a cross join, and the df cap bounds
+    every gram's block to ≤ {cap}² pairs — without it one boilerplate
+    phrase across N docs makes its block N² (a job-killer at 100 TB). The
+    ratio is exact integer arithmetic → bit-stable."""
+    grams0 = (
         _with_tok(spark, sf)
         .select("doc_id", F.explode(_ngrams(F.col("tok"))).alias("g"))
         .distinct()
+    )
+    w_df = Window.partitionBy("g")
+    grams = (
+        grams0.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("df") <= _NGRAM_DF_CAP)
+        .select("doc_id", "g")
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = grams.alias("a")
@@ -224,6 +246,9 @@ def dedup_ngram_jaccard(spark, sf):
         .where(F.col("jaccard") >= 0.35)
         .select("a", "b", "jaccard")
     )
+
+
+dedup_ngram_jaccard.__doc__ = dedup_ngram_jaccard.__doc__.format(cap=_NGRAM_DF_CAP)
 
 
 # --------------------------------------------------------- MinHash + LSH

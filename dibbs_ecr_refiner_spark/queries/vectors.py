@@ -173,7 +173,16 @@ def ann_lsh_bucket(spark, sf):
 # (standard random-hyperplane LSH; one 8-bit table keeps the collision
 # probability of weakly-similar true neighbors near zero, which is why
 # ann_lsh_bucket alone is a partitioner, not a search structure).
-_N_TABLES = 8
+# Sizing: recall/selectivity swept on the driver embeddings —
+# 8x4 = 0.63 recall / 42% candidate scan, 16x4 = 0.80/64%,
+# 24x4 = 0.93/77%. These embeddings are weakly correlated (cosines
+# concentrate near 0), so ANY hyperplane-LSH config with ≥0.9 recall
+# scans most of this small table — on real clustered embeddings the
+# same structure is selective, and _BITS_PER_TABLE should grow
+# ~log2(n / target_bucket_size) with corpus size. For data shaped like
+# these, ann_ivf_topk is the flagship scale path (0.97 recall probing
+# ~1/8 of the table).
+_N_TABLES = 24
 _BITS_PER_TABLE = 4
 
 
@@ -220,12 +229,13 @@ def _ann_topk_sql() -> str:
 
 @q("ann_topk", _ann_topk_sql())
 def ann_topk(spark, sf):
-    """ANN search END-TO-END: multi-table LSH candidate generation (4
-    tables × 4 random hyperplanes; candidate = signature match in ANY
-    table) → exact-cosine rerank within candidates → top-k per query. The
+    """ANN search END-TO-END: multi-table LSH candidate generation
+    ({tables} tables × {bits} random hyperplanes; candidate = signature
+    match in ANY table) → exact-cosine rerank within candidates → top-k
+    per query. The
     at-scale counterpart of embed_cosine_topk: candidates come from equi-
     joins on (table, bucket) — shuffle keyed on the bucket, never n² — and
-    only candidates pay the exact similarity fold. Recall vs the
+    only candidates pay the exact similarity fold. Recall ≥0.9 vs the
     brute-force baseline is pinned in tests/test_text_vectors.py."""
     e = _emb(spark, sf)
     planes = _topk_planes()
@@ -358,3 +368,4 @@ def ann_ivf_topk(spark, sf):
 
 
 ann_ivf_topk.__doc__ = ann_ivf_topk.__doc__.format(cells=_N_CELLS, probe=_N_PROBE)
+ann_topk.__doc__ = ann_topk.__doc__.format(tables=_N_TABLES, bits=_BITS_PER_TABLE)

@@ -66,14 +66,25 @@ EVENT_TYPES = (
 
 
 def _append_event(root: str, event_type: str, version: int | None, payload: dict) -> None:
-    """Append one immutable audit event (single-writer append, like the
-    reference's Postgres events insert). event_id is a monotone per-store
-    sequence derived from the current line count."""
+    """Append one immutable audit event (like the reference's Postgres
+    events insert). event_id is a monotone per-store sequence kept in a
+    cursor file — O(1) per append instead of re-counting the log (which
+    was O(n^2) over the log's life). The store is SINGLE-WRITER by design
+    (≙ the reference's one Lambda mutator): the cursor read-increment-write
+    and ``write_config_tables``'s version claim are not guarded against
+    concurrent mutators; concurrent *readers* are always safe (append-only
+    log, snapshot-style version dirs, atomic pointer flips)."""
     p = os.path.join(root, "events.jsonl")
-    n = 0
-    if os.path.exists(p):
+    cur = os.path.join(root, "events.cursor")
+    if os.path.exists(cur):
+        with open(cur) as f:
+            n = int(f.read().strip())
+    elif os.path.exists(p):
+        # upgrade path for stores created before the cursor existed
         with open(p, "rb") as f:
             n = sum(1 for _ in f)
+    else:
+        n = 0
     rec = {
         "event_id": n,
         "event_type": event_type,
@@ -83,6 +94,10 @@ def _append_event(root: str, event_type: str, version: int | None, payload: dict
     }
     with open(p, "a") as f:
         f.write(json.dumps(rec, sort_keys=True) + "\n")
+    tmp = cur + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(n + 1))
+    os.rename(tmp, cur)
 
 
 class MaintenanceLocked(Exception):
@@ -190,9 +205,15 @@ class ConfigStore:
     # event — never an in-place edit; readers keep the version they loaded).
 
     def _mutate(self, event_type: str, payload: dict, fn) -> int:
+        """Snapshot-style CRUD: build the next plan stamped with the STORE
+        version it will be written as — so provenance strings ('by cfg-vN')
+        and reconstructed text identify the actual configuration, not the
+        version the chain started from."""
         plan = self.load_plan()
-        new_plan = fn(plan)
+        next_version = (self.current_version() or 0) + 1
+        new_plan = fn(plan, next_version)
         version = write_config_tables(self.spark, self.root, new_plan)
+        assert version == next_version, "single-writer store: version raced"
         _append_event(self.root, event_type, version, payload)
         return version
 
@@ -202,11 +223,11 @@ class ConfigStore:
         return self._mutate(
             "add_code",
             {"system": code.system, "code": code.code},
-            lambda p: build_plan(
+            lambda p, v: build_plan(
                 list(p.instructions.values()),
                 [*p.keep_codes, code],
                 list(p.rules),
-                config_version=p.config_version,
+                config_version=v,
                 schema_version=p.schema_version,
             ),
         )
@@ -215,11 +236,11 @@ class ConfigStore:
         return self._mutate(
             "remove_code",
             {"system": system, "code": code},
-            lambda p: build_plan(
+            lambda p, v: build_plan(
                 list(p.instructions.values()),
                 [k for k in p.keep_codes if not (k.system == system and k.code == code)],
                 list(p.rules),
-                config_version=p.config_version,
+                config_version=v,
                 schema_version=p.schema_version,
             ),
         )
@@ -229,11 +250,11 @@ class ConfigStore:
         return self._mutate(
             "section_update",
             {"role": instr.role, "action": instr.action, "narrative": instr.narrative},
-            lambda p: build_plan(
+            lambda p, v: build_plan(
                 [i for r, i in p.instructions.items() if r != instr.role] + [instr],
                 list(p.keep_codes),
                 list(p.rules),
-                config_version=p.config_version,
+                config_version=v,
                 schema_version=p.schema_version,
             ),
         )

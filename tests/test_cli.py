@@ -52,3 +52,57 @@ def test_cli_mor_lifecycle(spark, tmp_path, capsys):
     exp = _run(capsys, "export", "--table", table, "--out", out, "--format", "csv")
     assert exp["rows"] == live_before
     assert spark.read.option("header", "true").csv(out).count() == live_before
+
+
+def test_cli_refine_one_simulator(spark, tmp_path, capsys):
+    """The simulator surface (≙ reference simulator.py:194): run a config
+    version against ONE conversation, read-only, and show the per-turn
+    diff. A v2 config that re-includes the 'system' role must show the
+    previously-dropped system turns flipping kept False→True; the table
+    itself must be untouched."""
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+    from dibbs_ecr_refiner_spark.plans.config import RoleInstruction, default_plan
+    from dibbs_ecr_refiner_spark.sources import ConfigStore, write_config_tables
+
+    log = str(tmp_path / "log")
+    table_dir = str(tmp_path / "table")
+    _run(capsys, "generate", "--changelog", log, "--events", "2000",
+         "--conversations", "40", "--batches", "2")
+    _run(capsys, "replay", "--changelog", log, "--table", table_dir, "--buckets", "8")
+
+    # a conversation that actually lost a system turn to refinement
+    table = LakeTable(spark, table_dir, num_buckets=8)
+    conv = (
+        table.read(include_tombstones=True)
+        .where("_outcome = 'removed_wholesale'")
+        .select("conv_id")
+        .first()["conv_id"]
+    )
+    snap_before = table.current_snapshot()["snapshot_id"]
+
+    cfg = str(tmp_path / "cfg")
+    write_config_tables(spark, cfg, default_plan())
+    store = ConfigStore(spark, cfg)
+    v2 = store.update_role_instruction(
+        RoleInstruction("system", include=True, action="retain", narrative="retain")
+    )
+
+    # v1 (the active config the table was built with): system turns stay dropped
+    out1 = _run(capsys, "refine-one", "--table", table_dir, "--buckets", "8",
+                "--conv", conv, "--config", cfg, "--config-version", "1")
+    sys_turns = [t for t in out1["turns"] if t["role"] == "system"]
+    assert sys_turns and all(not t["after"]["kept"] for t in sys_turns)
+
+    # v2: the same turns flip to kept, reported as changes
+    out2 = _run(capsys, "refine-one", "--table", table_dir, "--buckets", "8",
+                "--conv", conv, "--config", cfg, "--config-version", str(v2), "--diff-only")
+    assert out2["config_version"] == v2
+    flipped = [
+        t for t in out2["turns"]
+        if t["role"] == "system" and not t["before"]["kept"] and t["after"]["kept"]
+    ]
+    assert flipped, out2
+    assert all(t["changed"] for t in out2["turns"])
+
+    # read-only: no new snapshot was committed
+    assert table.current_snapshot()["snapshot_id"] == snap_before

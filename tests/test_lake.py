@@ -566,3 +566,33 @@ def test_gc_orphans_sweeps_unreferenced_dirs(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "data", "cdeadbeef"))
     # committed data untouched
     assert table.read().count() == 1
+
+
+def test_gc_does_not_sweep_staging_of_inflight_writer(spark, tmp_path):
+    """A long-running write's staging dir must survive GC: the age check
+    keys on the NEWEST file mtime under the dir (an active Spark write
+    keeps creating task files), not the dir's own mtime — which is set at
+    the START of the write and would age past any horizon on a write
+    longer than min_age_sec."""
+    import time as _t
+
+    from dibbs_ecr_refiner_spark.lake.maintenance import gc_orphans
+
+    table = mk(spark, tmp_path, [("c1", 0, "x", 1, False, None)])
+    root = str(tmp_path / "t")
+    staging = os.path.join(root, "_staging", "inflight1", "_bucket=0")
+    os.makedirs(staging)
+    old = _t.time() - 3600
+    # dir tree created "an hour ago"…
+    os.utime(os.path.join(root, "_staging", "inflight1"), (old, old))
+    os.utime(staging, (old, old))
+    # …but the writer just produced a task file (heartbeat)
+    open(os.path.join(staging, "part-0.parquet"), "w").close()
+
+    gc_orphans(table, min_age_sec=60.0)
+    assert os.path.exists(staging), "in-flight staging must not be swept"
+
+    # once the newest file is also past the horizon, it is swept
+    os.utime(os.path.join(staging, "part-0.parquet"), (old, old))
+    gc_orphans(table, min_age_sec=60.0)
+    assert not os.path.exists(os.path.join(root, "_staging", "inflight1"))

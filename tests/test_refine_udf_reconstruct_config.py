@@ -181,3 +181,27 @@ def test_config_store_crud_is_snapshot_style(spark, tmp_path):
     assert kinds.count("remove_code") == 1
     assert kinds.count("section_update") == 1
     assert v4 == 4
+
+    # event_ids stay a gapless monotone sequence (cursor-file allocator)
+    ids = [r["event_id"] for r in store.events().orderBy("event_id").collect()]
+    assert ids == list(range(len(ids)))
+
+
+def test_crud_bumps_config_version_so_provenance_attributes_correctly(spark, tmp_path):
+    """Each CRUD mutation stamps the plan with the NEW store version, so
+    provenance strings ('by cfg-vN') identify the configuration that
+    actually refined the row — not the version the chain started from."""
+    from dibbs_ecr_refiner_spark.plans.config import KeepCode
+    from dibbs_ecr_refiner_spark.sources import ConfigStore, write_config_tables
+
+    root = str(tmp_path / "cfg-prov")
+    store = ConfigStore(spark, root)
+    write_config_tables(spark, root, default_plan())
+    assert store.load_plan().config_version == 1
+
+    v2 = store.add_code(KeepCode("token", "oscar", "Oscar"))
+    assert store.load_plan().config_version == v2 == 2
+    v3 = store.remove_code("token", "oscar")
+    assert store.load_plan().config_version == v3 == 3
+    # historical versions keep their own attribution
+    assert store.load_plan(version=2).config_version == 2

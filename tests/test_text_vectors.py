@@ -12,17 +12,52 @@ def _pairs(df, a="query_id", b="neighbor_id"):
 
 
 def test_ann_topk_recall_vs_brute_force(spark):
-    """Multi-table LSH must recover a substantial fraction of the true
-    top-3 neighbors (measured 0.60-0.63 on the driver embeddings; pinned
-    conservatively). One single-table signature measured 0.0 recall — the
-    multi-table structure is what makes it a search, not a partitioner."""
+    """Multi-table LSH must recover ≥0.9 of the true top-3 neighbors
+    (24 tables × 4 bits measured 0.933 on the driver embeddings —
+    deterministic: fixed planes, fixed data). One single-table signature
+    measured 0.0 recall — the multi-table structure is what makes it a
+    search, not a partitioner. Config sweep in queries/vectors.py."""
     from dibbs_ecr_refiner_spark.queries.vectors import ann_topk, embed_cosine_topk
 
     brute = _pairs(embed_cosine_topk(spark, SF))
     ann = _pairs(ann_topk(spark, SF))
     assert len(brute) == 30
     recall = len(brute & ann) / len(brute)
-    assert recall >= 0.4, f"ANN recall collapsed: {recall}"
+    assert recall >= 0.9, f"ANN recall collapsed: {recall}"
+
+
+def test_ngram_jaccard_df_cap_bounds_boilerplate_blocks(spark, tmp_path):
+    """A shared boilerplate phrase across every document must NOT create a
+    quadratic candidate block: grams with document frequency > the cap are
+    excluded from blocking (and, symmetrically, from the Jaccard metric),
+    so the pair count is driven by genuinely shared content only."""
+    from dibbs_ecr_refiner_spark.queries.text import _NGRAM_DF_CAP, dedup_ngram_jaccard
+
+    n = _NGRAM_DF_CAP * 4  # boilerplate grams' df is 4x over the cap
+    rows = [
+        (
+            i,
+            # identical legal boilerplate + a long unique tail
+            "all rights reserved this document is confidential property of the company "
+            + " ".join(f"unique{i}w{j}" for j in range(30)),
+            "en",
+            "synthetic",
+            0,
+        )
+        for i in range(n)
+    ]
+    # one true near-dup pair whose similarity comes from its OWN content
+    rows.append((n, "alpha beta gamma delta epsilon zeta eta theta " * 4, "en", "s", 0))
+    rows.append((n + 1, "alpha beta gamma delta epsilon zeta eta theta " * 4 + "coda", "en", "s", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    # the boilerplate-only docs pair with nobody (their shared grams are all
+    # over the df cap; their unique tails share nothing)
+    assert got == {(n, n + 1)}, got
 
 
 def test_simhash_banded_search_finds_all_within_radius(spark):
@@ -58,4 +93,4 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     brute = _pairs(embed_cosine_topk(spark, SF))
     ivf = _pairs(ann_ivf_topk(spark, SF))
     recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.8, f"IVF recall collapsed: {recall}"
+    assert recall >= 0.9, f"IVF recall collapsed: {recall}"
