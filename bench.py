@@ -365,8 +365,30 @@ def main_scaling() -> None:
             ordered = sorted(runs, key=lambda r: r["events_per_sec"])
             return ordered[(len(ordered) - 1) // 2], runs
 
-        lo, lo_runs = level(N_LO)
-        hi, hi_runs = level(N_LO * 4)
+        interleave = os.environ.get("SPARK_GRAFT_SCALE_INTERLEAVE") == "1"
+        paired = None
+        if interleave:
+            # Alternate lo,hi,lo,hi… and ALSO report the median of the
+            # per-pair ratios: co-tenant load on this shared box comes in
+            # multi-minute bursts, so an adjacent (lo,hi) pair sees similar
+            # conditions and the PAIRED ratio cancels the burst, where
+            # sequential all-lo-then-all-hi medians alias it into the
+            # efficiency estimate (measured: 4-core trials 2x apart while
+            # 1-core trials sat within ±4%).
+            lo_runs, hi_runs = [], []
+            for _ in range(SCALE_TRIALS):
+                lo_runs.append(_spawn_replay(N_LO, log_path))
+                hi_runs.append(_spawn_replay(N_LO * 4, log_path))
+            med = lambda rs: sorted(rs, key=lambda r: r["events_per_sec"])[(len(rs) - 1) // 2]  # noqa: E731
+            lo, hi = med(lo_runs), med(hi_runs)
+            ratios = sorted(
+                (h["events_per_sec"] / l["events_per_sec"]) / 4.0
+                for l, h in zip(lo_runs, hi_runs)
+            )
+            paired = round(ratios[(len(ratios) - 1) // 2], 3)
+        else:
+            lo, lo_runs = level(N_LO)
+            hi, hi_runs = level(N_LO * 4)
         eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4.0
         print(
             json.dumps(
@@ -381,6 +403,7 @@ def main_scaling() -> None:
                         str(N_LO): [r["events_per_sec"] for r in lo_runs],
                         str(N_LO * 4): [r["events_per_sec"] for r in hi_runs],
                     },
+                    **({"paired_median_efficiency": paired} if paired is not None else {}),
                     "pinned": bool(shutil.which("taskset")),
                 }
             )
