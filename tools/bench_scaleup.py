@@ -20,6 +20,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     events = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
