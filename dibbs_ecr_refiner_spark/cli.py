@@ -145,6 +145,48 @@ def cmd_changes(args) -> dict:
     }
 
 
+def cmd_tail(args) -> dict:
+    """Tail read: LWW-resolved rows with ts >= --since, skipping cold data
+    files at the manifest via compaction-stamped stats (lake/table.py
+    read_since). Reports how many files the stats pruned — at steady state
+    on a compacted table that is almost all of them."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable, _stats_keep, _ts_us
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table, num_buckets=args.buckets)
+    since = dt.datetime.fromisoformat(args.since)
+    snap = table.current_snapshot()
+    total = len(snap["files"]) if snap else 0
+    kept = (
+        sum(1 for f in snap["files"] if _stats_keep(f, "ts", lo=_ts_us(since)))
+        if snap
+        else 0
+    )
+    df = table.read_since(since)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("conv_id").alias("conversations"),
+        F.max("ts").alias("ts_max"),
+    ).collect()[0]
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+    return {
+        "cmd": "tail",
+        "since": args.since,
+        "rows": int(agg["rows"] or 0),
+        "conversations": int(agg["conversations"] or 0),
+        "ts_max": str(agg["ts_max"]) if agg["ts_max"] else None,
+        "files_total": total,
+        "files_scanned": kept,
+        "files_skipped_by_stats": total - kept,
+        "out": args.out,
+    }
+
+
 def cmd_gc(args) -> dict:
     from dibbs_ecr_refiner_spark.lake.maintenance import gc_orphans
     from dibbs_ecr_refiner_spark.lake.table import LakeTable
@@ -321,6 +363,12 @@ def main(argv=None) -> int:
     ro.add_argument("--diff-only", action="store_true",
                     help="emit only the turns whose outcome would change")
 
+    tl = sub.add_parser("tail", help="rows updated since a timestamp (stats-pruned read)")
+    tl.add_argument("--table", required=True)
+    tl.add_argument("--buckets", type=int, default=64)
+    tl.add_argument("--since", required=True, help="ISO timestamp, e.g. 2026-01-20T00:00:00")
+    tl.add_argument("--out", default=None, help="optional parquet dir to write the tail")
+
     ch = sub.add_parser("changes", help="incremental scan: rows added between snapshots")
     ch.add_argument("--table", required=True)
     ch.add_argument("--buckets", type=int, default=64)
@@ -337,6 +385,7 @@ def main(argv=None) -> int:
         "gc": cmd_gc,
         "events": cmd_events,
         "changes": cmd_changes,
+        "tail": cmd_tail,
         "rebucket": cmd_rebucket,
         "expire": cmd_expire,
         "export": cmd_export,

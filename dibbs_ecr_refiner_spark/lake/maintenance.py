@@ -79,6 +79,10 @@ def compact(
         touched_buckets=buckets,
         replace_buckets=True,
         advance_watermarks=False,
+        # Maintenance is the one pass that pays per-file footer reads:
+        # stamp min/max stats so reads can skip the rewritten files
+        # (point lookups + read_since) — the ingest path never does.
+        collect_stats=True,
     )
     res["compacted_buckets"] = len(buckets)
     return res
@@ -233,6 +237,7 @@ def rebucket(table: LakeTable, new_num_buckets: int, post=None) -> dict:
             replace_buckets=True,
             advance_watermarks=False,
             watermarks_override=new_wm,
+            collect_stats=True,
         )
     except Exception:
         table.num_buckets = old_n

@@ -72,6 +72,14 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Manifest file-level min/max stats (≙ Iceberg data-file column stats).
+# Stamped ONLY on maintenance rewrites (compact/fold/rebucket pass
+# collect_stats=True) — never in the ingest hot path: the MERGE finalize
+# stays a single os.replace with zero per-file footer reads (pinned by
+# test_no_driver_side_footer_reads, which bans the footer-reading library
+# from THIS module — the reader lives in lake/stats.py).
+from .stats import STATS_COLS, _stats_keep, _ts_us, file_column_stats  # noqa: F401
+
 FORMAT_VERSION = 1
 KEY = ("conv_id", "turn_idx")
 ORDER = ("ts", "change_lsn")
@@ -80,6 +88,11 @@ ORDER = ("ts", "change_lsn")
 # lookups skip row groups, and like-keyed rows compress better. Costs a
 # per-batch sort in the write path — measured A/B in BENCH.md.
 SORT_WITHIN_FILES = True
+# Splitting threshold for staged data files. At 100 TB a compacted bucket is
+# MANY files; because files are key-sorted, the split points give each file a
+# disjoint conv_id range — which manifest-level stats (below) turn into a
+# point-lookup index.
+MAX_RECORDS_PER_FILE = 5_000_000
 
 
 class SnapshotConflict(Exception):
@@ -420,6 +433,8 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_tombstones: bool = False,
         version: int | None = None,
+        conv_id_eq: str | None = None,
+        min_ts=None,
     ) -> DataFrame:
         """Read a snapshot (current, or ``version`` for time travel),
         pruning to ``buckets`` via the manifest file list (no directory
@@ -428,10 +443,29 @@ class LakeTable:
         If the selected files include merge-on-read delta files, LWW is
         resolved here (same hash-agg with map-side partial combine as the
         write path — operators/cdc.lww_resolve), so readers always see
-        ≤1 row per key regardless of the commit mode used."""
+        ≤1 row per key regardless of the commit mode used.
+
+        Manifest-level data skipping (file stats stamped by compaction):
+
+        ``conv_id_eq``: keep only files whose conv_id [min,max] can contain
+        the key, and filter to it. Safe under LWW because bucketing puts ALL
+        rows of a conversation in one bucket, and pruning by conv_id range
+        keeps every file that can hold any of its rows; other keys may be
+        mis-resolved against the partial file set but are filtered away.
+
+        ``min_ts``: keep only files whose ts max >= min_ts, and filter
+        ``ts >= min_ts`` AFTER LWW. Safe because ``ts`` is the LEADING LWW
+        order column: a winner's ts is the max ts of its key, so any row in
+        a pruned file (all ts < min_ts) that would have won its key has
+        ts < min_ts — and so does any lower-ordered row a prune could
+        falsely promote — and both fail the post-filter identically.
+        (Pruning on ``change_lsn`` — the tiebreak column — would NOT be
+        safe: 10% of events carry ts out of lsn order by construction.)"""
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"]) if snap else None
         has_delta = False
+        if conv_id_eq is not None and buckets is None:
+            buckets = [self.bucket_of(conv_id_eq)]
         if snap is None or not snap["files"]:
             if schema is None:
                 raise ValueError("table has no snapshot yet")
@@ -441,6 +475,10 @@ class LakeTable:
             if buckets is not None:
                 want = set(buckets)
                 files = [f for f in files if f["bucket"] in want]
+            if conv_id_eq is not None:
+                files = [f for f in files if _stats_keep(f, "conv_id", conv_id_eq, conv_id_eq)]
+            if min_ts is not None:
+                files = [f for f in files if _stats_keep(f, "ts", lo=_ts_us(min_ts))]
             has_delta = any(f.get("kind", "base") == "delta" for f in files)
             if not files:
                 df = self.spark.createDataFrame([], schema)
@@ -450,10 +488,14 @@ class LakeTable:
                 # resolved by id); column pruning and predicate pushdown
                 # still reach the parquet scan.
                 df = self._read_files(files, snap)
+        if conv_id_eq is not None:
+            df = df.where(F.col("conv_id") == F.lit(conv_id_eq))
         if has_delta:
             from ..operators.cdc import lww_resolve
 
             df = lww_resolve(df, key=KEY, order=ORDER)
+        if min_ts is not None:
+            df = df.where(F.col("ts") >= F.lit(min_ts))
         if not include_tombstones:
             df = df.where(~F.col("_deleted"))
         return df
@@ -605,11 +647,22 @@ class LakeTable:
 
     def read_conversation(self, conv_id: str, include_tombstones: bool = False) -> DataFrame:
         """Point lookup: manifest bucket pruning (hash the key, read only
-        that bucket's files) + a pushed-down conv_id filter — O(bucket),
-        not O(table). The common operational query ('show me this
-        conversation') at 100 TB."""
-        df = self.read(buckets=[self.bucket_of(conv_id)], include_tombstones=include_tombstones)
-        return df.where(F.col("conv_id") == F.lit(conv_id))
+        that bucket's files), then manifest FILE pruning (compaction writes
+        key-sorted files split at MAX_RECORDS_PER_FILE, so a big bucket's
+        files carry disjoint conv_id ranges — the lookup opens the one file
+        that can hold the key), then a pushed-down conv_id filter —
+        O(one file), not O(table). The common operational query ('show me
+        this conversation') at 100 TB."""
+        return self.read(conv_id_eq=conv_id, include_tombstones=include_tombstones)
+
+    def read_since(self, min_ts, include_tombstones: bool = False) -> DataFrame:
+        """Tail read: LWW-resolved rows with ``ts >= min_ts`` — 'what
+        changed since T' over a huge table. Files whose stamped ts-max is
+        below ``min_ts`` (the compacted old base data — at steady state,
+        almost everything) are skipped at the manifest, so cost tracks the
+        tail size, not the table size; see ``read`` for the safety
+        argument. Un-stamped files (fresh ingest) are always scanned."""
+        return self.read(min_ts=min_ts, include_tombstones=include_tombstones)
 
     def read_transcripts(self) -> DataFrame:
         """User-facing view: the clean transcripts table of FIXTURES.md §1."""
@@ -659,12 +712,30 @@ class LakeTable:
         )
 
     def files(self, version: int | None = None) -> DataFrame:
-        """Data-file metadata table for a snapshot (≙ Iceberg ``files``)."""
+        """Data-file metadata table for a snapshot (≙ Iceberg ``files``),
+        including the stamped min/max stats where present."""
         snap = self.snapshot(version)
-        rows = [
-            (f["path"], f["bucket"], f.get("kind", "base")) for f in (snap["files"] if snap else [])
-        ]
-        return self.spark.createDataFrame(rows, "path string, bucket int, kind string")
+        rows = []
+        for f in snap["files"] if snap else []:
+            s = f.get("stats") or {}
+            cid, ts = s.get("conv_id"), s.get("ts")
+            rows.append(
+                (
+                    f["path"],
+                    f["bucket"],
+                    f.get("kind", "base"),
+                    cid[0] if cid else None,
+                    cid[1] if cid else None,
+                    ts[0] if ts else None,
+                    ts[1] if ts else None,
+                    s.get("rows"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, kind string, conv_id_min string, "
+            "conv_id_max string, ts_min_us long, ts_max_us long, stats_rows long",
+        )
 
     def lineage(self) -> DataFrame:
         """Per-batch lineage records from the manifest chain (≙ the
@@ -710,6 +781,7 @@ class LakeTable:
         mode: str = "cow",
         watermarks_override: dict[str, int] | None = None,
         publish: bool = True,
+        collect_stats: bool = False,
     ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
@@ -852,7 +924,7 @@ class LakeTable:
             # destroying the key order) if the child's ordering lacks it.
             staged_df = staged_df.sortWithinPartitions("_bucket", "conv_id", "turn_idx")
         (
-            staged_df.write.option("maxRecordsPerFile", 5_000_000)
+            staged_df.write.option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
             .partitionBy("_bucket")
             .parquet(staging)
         )
@@ -883,6 +955,14 @@ class LakeTable:
                         # skip these so a fold doesn't re-deliver the table
                         entry["rewrite"] = True
                     new_files.append(entry)
+        if collect_stats:
+            # Maintenance rewrites only (compact/fold): stamp per-file
+            # min/max so reads can skip files. Deliberately NOT done on the
+            # ingest hot path — see the STATS_COLS note at the top.
+            for entry in new_files:
+                s = file_column_stats(os.path.join(self.root, entry["path"]))
+                if s is not None:
+                    entry["stats"] = s
         t_files = time.time() - t_files
 
         stats = obs.get

@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC -XX:MaxGCPauseMillis=300")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # int64-micros timestamps (not legacy INT96): INT96 carries NO
+        # parquet min/max statistics, which would silently disable both
+        # row-group skipping on ts predicates and the manifest file-stats
+        # stamping in lake/table.py (same choice as Iceberg/Delta).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # v2 commit: tasks move their own files (no serial driver-side
         # rename of every dynamic partition at job commit)
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")

@@ -54,6 +54,32 @@ def test_cli_mor_lifecycle(spark, tmp_path, capsys):
     assert spark.read.option("header", "true").csv(out).count() == live_before
 
 
+def test_cli_tail_stats_pruned(spark, tmp_path, capsys):
+    """`tail --since` reads the LWW tail and reports manifest data
+    skipping: after a compact (which stamps file stats), a future cut
+    scans ZERO files while a past cut scans them all — same row counts
+    as the unpruned view either way."""
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "table")
+    _run(capsys, "generate", "--changelog", log, "--events", "2000",
+         "--conversations", "40", "--batches", "2")
+    rep = _run(capsys, "replay", "--changelog", log, "--table", table, "--buckets", "8",
+               "--mode", "mor")
+    comp = _run(capsys, "compact", "--table", table, "--buckets", "8")
+    assert not comp.get("skipped")  # the fold is what stamps the file stats
+    live = _run(capsys, "show", "--table", table, "--buckets", "8")["live_rows"]
+
+    past = _run(capsys, "tail", "--table", table, "--buckets", "8",
+                "--since", "2000-01-01T00:00:00")
+    assert past["rows"] == live and past["files_skipped_by_stats"] == 0
+
+    fut = _run(capsys, "tail", "--table", table, "--buckets", "8",
+               "--since", "2100-01-01T00:00:00")
+    assert fut["rows"] == 0 and fut["files_scanned"] == 0
+    assert fut["files_total"] == past["files_total"] > 0
+    assert rep["batches_applied"] == 2  # the tail read touched nothing
+
+
 def test_cli_refine_one_simulator(spark, tmp_path, capsys):
     """The simulator surface (≙ reference simulator.py:194): run a config
     version against ONE conversation, read-only, and show the per-turn

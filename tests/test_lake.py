@@ -442,8 +442,12 @@ def test_corrupt_record_quarantine_csv(spark, tmp_path):
 
 
 def test_no_driver_side_footer_reads():
-    """Finalize must stay O(1) in file count: no per-file parquet footer
-    reads (pq.read_metadata) and no per-file renames on the driver."""
+    """INGEST finalize must stay O(1) in file count: no per-file parquet
+    footer reads and no per-file renames on the driver. The footer reader
+    that stamps data-skipping stats lives in lake/stats.py and runs only
+    when a MAINTENANCE rewrite opts in — so this module stays pyarrow-free
+    and merge's collect_stats must default off."""
+    import inspect
     import pathlib
 
     import dibbs_ecr_refiner_spark.lake.table as mod
@@ -451,6 +455,7 @@ def test_no_driver_side_footer_reads():
     src = pathlib.Path(mod.__file__).read_text()
     assert "read_metadata" not in src
     assert "pyarrow" not in src
+    assert inspect.signature(mod.LakeTable.merge).parameters["collect_stats"].default is False
 
 
 def test_concurrent_writer_loser_cannot_clobber_winner(spark, tmp_path):
