@@ -1,0 +1,279 @@
+"""First-class Structured Streaming CDC source over a :class:`LakeTable`
+via PySpark 4's Python Data Source API::
+
+    spark.dataSource.register(LakeCdcDataSource)
+    changes = (spark.readStream.format("lake_cdc")
+               .option("path", table_root)
+               .load())
+
+Round 2 shipped the poll/commit consumer (``lake/feed.py``); a *native*
+``readStream`` source was blocked because Spark's file index treats the
+``_bucket=`` directories as hidden. The Data Source API is the idiomatic
+fix — the source plugs into Structured Streaming's own offset tracking,
+so a lake table composes with watermarks, stateful ops and ``foreachBatch``
+like any built-in source.
+
+Design (Spark-first):
+
+- **Offsets are published snapshot versions.** The table's commit log is
+  the write-ahead log; Spark's streaming checkpoint is the cursor (the
+  Data Source API persists ``{"version": N}`` JSON offsets). Version 0
+  means "before the first snapshot", so a fresh query's first microbatch
+  delivers the whole table — same contract as ``ChangeFeedReader.reset()``.
+  Only the *published* pointer is followed: staged write-audit-publish
+  snapshots are invisible until published, exactly like batch reads.
+- **One InputPartition per added data file** in the ``(start, end]`` span:
+  executor-parallel Arrow scans, zero driver-side data movement. The span
+  walk mirrors ``LakeTable.read_changes(skip_rewrites=True)`` — maintenance
+  rewrites (fold / compact / rebucket) are skipped so a fold between
+  triggers yields an empty batch, while delta files superseded by an
+  in-span fold are still delivered (never silent loss; an expired
+  intermediate manifest degrades to endpoint-diff redelivery, which the
+  idempotent downstream absorbs).
+- **Era-aware field-id projection, executor-side.** Each partition carries
+  its file's physical-name projection (per current column id), mirroring
+  ``LakeTable._read_files``: renamed columns read correctly from
+  pre-rename files, and a dropped-then-re-added name never resurrects dead
+  bytes. Rows stream back as pyarrow RecordBatches cast to the Spark
+  schema's Arrow form — vectorized end to end, no per-row pickling.
+- **Rate control**: ``maxVersionsPerBatch`` caps how many commits a single
+  microbatch may span (admission control within a run; the first batch
+  after a checkpoint restart is uncapped because the API only hands the
+  reader its own prior offset via ``partitions``).
+
+Writing INTO the lake deliberately stays on ``foreachBatch`` +
+``LakeTable.merge`` (``streaming/apply.py``): the merge commit protocol is
+a driver-side atomic manifest swap keyed by batch id, which is exactly the
+``foreachBatch`` exactly-once idiom; a ``DataSourceStreamWriter`` writes
+rows from executors and would re-implement that commit badly.
+
+≙ reference: the refiner's pipeline is *event-driven* — S3 object
+notifications fan out refinement work
+(``/root/reference/refiner/app/lambda/lambda_function.py``); the
+Spark-native analog is the lake emitting its own change stream as a
+streaming source. Also ≙ Delta Change Data Feed / Iceberg incremental
+streaming read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SOURCE_NAME = "lake_cdc"
+
+
+# ---------------- manifest access (driver-side, no SparkSession) ----------------
+
+
+def _current_version(root: str) -> int:
+    p = os.path.join(root, "_manifests", "_current")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _snapshot(root: str, v: int) -> dict:
+    with open(os.path.join(root, "_manifests", f"v{v:08d}.json")) as f:
+        return json.load(f)
+
+
+def _span_files(root: str, frm: int, to: int, skip_rewrites: bool) -> tuple[list[dict], dict]:
+    """Data files added in ``(frm, to]`` + the end snapshot — the same walk
+    as ``LakeTable.read_changes`` (see there for the superseded-delta and
+    expired-manifest rationale), on raw manifests so the streaming driver
+    never needs a LakeTable or SparkSession."""
+    new = _snapshot(root, to)
+    if frm <= 0:
+        return list(new["files"]), new
+    old_paths = {f["path"] for f in _snapshot(root, frm)["files"]}
+    added = [f for f in new["files"] if f["path"] not in old_paths]
+    if skip_rewrites:
+        try:
+            span: dict[str, dict] = {}
+            prev = set(old_paths)
+            for v in range(frm + 1, to + 1):
+                s = _snapshot(root, v)
+                for f in s["files"]:
+                    if f["path"] not in prev and not f.get("rewrite") and f["path"] not in span:
+                        span[f["path"]] = f
+                prev = {f["path"] for f in s["files"]}
+            added = list(span.values())
+        except FileNotFoundError:
+            pass
+    return added, new
+
+
+class LakeFilePartition(InputPartition):
+    """One data file + the field-id projection that reads it through the
+    end snapshot's schema. ``path is None`` is the empty sentinel (a span
+    whose only additions were maintenance rewrites)."""
+
+    def __init__(self, path: str | None, proj: tuple, cols: list[dict]):
+        self.path = path
+        self.proj = proj  # physical name per current column (None -> NULL)
+        self.cols = cols  # end snapshot's [{"id","name","type"}]
+
+
+def _plan_partitions(
+    root: str, frm: int, to: int, skip_rewrites: bool
+) -> list[LakeFilePartition]:
+    files, snap = _span_files(root, frm, to, skip_rewrites)
+    schema = T.StructType.fromJson(snap["schema"])
+    cols = snap.get("columns") or [
+        {"id": i + 1, "name": f.name, "type": f.dataType.jsonValue()}
+        for i, f in enumerate(schema.fields)
+    ]
+    cur_sv = str(snap.get("schema_version", 0))
+    schemas = {str(k): v for k, v in snap.get("schemas", {}).items()}
+    schemas.setdefault(cur_sv, cols)
+    proj_cache: dict[str, tuple] = {}
+
+    def projection(sv: str) -> tuple:
+        if sv not in proj_cache:
+            era = {c["id"]: c["name"] for c in schemas.get(sv, cols)}
+            proj_cache[sv] = tuple(era.get(c["id"]) for c in cols)
+        return proj_cache[sv]
+
+    if not files:
+        return [LakeFilePartition(None, (), cols)]
+    return [
+        LakeFilePartition(
+            os.path.join(root, f["path"]),
+            projection(str(f.get("sv", cur_sv))),
+            cols,
+        )
+        for f in files
+    ]
+
+
+def _read_partition(part: LakeFilePartition) -> Iterator:
+    """Executor-side Arrow scan: project the file's physical columns onto
+    the end snapshot's schema by field id (NULL-fill columns the file's
+    era predates), cast to the schema's Arrow form, yield RecordBatches."""
+    if part.path is None:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    target = pa.schema(
+        [
+            pa.field(c["name"], to_arrow_type(T._parse_datatype_json_value(c["type"])))
+            for c in part.cols
+        ]
+    )
+    pf = pq.ParquetFile(part.path)
+    physical = set(pf.schema_arrow.names)
+    want = [p for p in part.proj if p is not None and p in physical]
+    for batch in pf.iter_batches(columns=want, batch_size=1 << 16):
+        by_name = dict(zip(batch.schema.names, batch.columns))
+        arrays = []
+        for phys, field in zip(part.proj, target):
+            col = by_name.get(phys) if phys is not None else None
+            if col is None:
+                arrays.append(pa.nulls(batch.num_rows, type=field.type))
+            else:
+                arrays.append(col if col.type == field.type else col.cast(field.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+# ---------------- readers ----------------
+
+
+def _skip_rewrites(options) -> bool:
+    return str(options.get("skiprewrites", "true")).lower() != "false"
+
+
+class LakeCdcStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.root = options["path"]
+        self.skip_rewrites = _skip_rewrites(options)
+        self.max_versions = int(options.get("maxversionsperbatch", 0) or 0)
+        self.starting = int(options.get("startingversion", 0) or 0)
+        self._last: int | None = None
+
+    def initialOffset(self) -> dict:
+        self._last = self.starting
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        cur = _current_version(self.root)
+        if self.max_versions and self._last is not None:
+            cur = min(cur, self._last + self.max_versions)
+        if self._last is not None:
+            cur = max(cur, self._last)
+        self._last = cur
+        return {"version": cur}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        frm, to = int(start["version"]), int(end["version"])
+        if to <= frm:
+            return [LakeFilePartition(None, (), [])]
+        return _plan_partitions(self.root, frm, to, self.skip_rewrites)
+
+    def read(self, partition: LakeFilePartition) -> Iterator:
+        return _read_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        # Spark's checkpoint IS the cursor; nothing table-side to advance.
+        pass
+
+
+class LakeCdcBatchReader(DataSourceReader):
+    """Batch face of the same source: ``spark.read.format("lake_cdc")``
+    with ``fromVersion`` / ``toVersion`` — an incremental scan between two
+    retained snapshots (``fromVersion`` 0 = the whole table as of
+    ``toVersion``, i.e. time travel)."""
+
+    def __init__(self, options):
+        self.root = options["path"]
+        self.frm = int(options.get("fromversion", 0) or 0)
+        self.to = int(options.get("toversion", 0) or 0) or _current_version(self.root)
+        self.skip_rewrites = _skip_rewrites(options)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        if self.to <= self.frm:
+            return [LakeFilePartition(None, (), [])]
+        return _plan_partitions(self.root, self.frm, self.to, self.skip_rewrites)
+
+    def read(self, partition: LakeFilePartition) -> Iterator:
+        return _read_partition(partition)
+
+
+class LakeCdcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> T.StructType:
+        root = self.options["path"]
+        v = int(self.options.get("toversion", 0) or 0) or _current_version(root)
+        if v == 0:
+            raise ValueError(
+                f"lake table at {root!r} has no published snapshot yet — "
+                "nothing to infer a schema from (merge a first batch, or "
+                "pass an explicit .schema(...))"
+            )
+        return T.StructType.fromJson(_snapshot(root, v)["schema"])
+
+    def streamReader(self, schema) -> LakeCdcStreamReader:
+        return LakeCdcStreamReader(self.options)
+
+    def reader(self, schema) -> LakeCdcBatchReader:
+        return LakeCdcBatchReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(LakeCdcDataSource)
