@@ -203,6 +203,67 @@ def test_stream_agrees_with_poll_commit_feed(spark, tmp_path):
         q.stop()
 
 
+def test_max_versions_per_batch_splits_microbatches(spark, tmp_path):
+    """Admission control: a burst of commits drains in capped spans, not
+    one giant microbatch — at scale this bounds per-trigger state."""
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=2)
+    table.merge(_delta(spark, [("c1", 0, "a", 1, False)]), "b0")
+    sink = Sink()
+    q = _stream(spark, root, str(tmp_path / "cp"), sink, maxVersionsPerBatch="1")
+    try:
+        q.processAllAvailable()
+        for i in range(3):  # burst while the stream is live
+            table.merge(_delta(spark, [(f"x{i}", 0, "v", 10 + i, False)]), f"burst{i}", mode="mor")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    nonempty = [rows for _, rows in sink.batches if rows]
+    # 1 initial + 3 capped single-commit batches
+    assert len(nonempty) == 4
+    assert all(len(rows) == 1 for rows in nonempty)
+    assert _key_set(sink.rows) == {("c1", 0, 1), ("x0", 0, 10), ("x1", 0, 11), ("x2", 0, 12)}
+
+
+def test_composes_with_downstream_aggregation(spark, tmp_path):
+    """The source is a first-class streaming DataFrame: downstream
+    groupBy/agg in update mode works like on any built-in source."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=2)
+    table.merge(
+        _delta(spark, [("c1", 0, "a", 1, False), ("c1", 1, "b", 2, False), ("c2", 0, "c", 3, False)]),
+        "b0",
+    )
+    register(spark)
+    counts = {}
+
+    def upsert(df, _bid):
+        for r in df.collect():
+            counts[r["conv_id"]] = r["n"]
+
+    q = (
+        spark.readStream.format("lake_cdc")
+        .option("path", root)
+        .load()
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert counts == {"c1": 2, "c2": 1}
+        table.merge(_delta(spark, [("c2", 1, "d", 4, False)]), "b1", mode="mor")
+        q.processAllAvailable()
+        assert counts == {"c1": 2, "c2": 2}
+    finally:
+        q.stop()
+
+
 def test_empty_table_schema_inference_raises(spark, tmp_path):
     register(spark)
     root = str(tmp_path / "empty")
