@@ -40,6 +40,11 @@ Design (Spark-first):
   microbatch may span (admission control within a run; the first batch
   after a checkpoint restart is uncapped because the API only hands the
   reader its own prior offset via ``partitions``).
+- **Cost model** (measured, BENCH.md): the Python-worker Arrow scan runs
+  ~5× slower than the JVM parquet path on bulk data — right for tailing
+  incremental spans (O(new data) per trigger), wrong for bulk loads; do
+  initial backfill with ``table.read()`` and start the stream at
+  ``startingVersion`` = the backfill's snapshot.
 
 Writing INTO the lake deliberately stays on ``foreachBatch`` +
 ``LakeTable.merge`` (``streaming/apply.py``): the merge commit protocol is
@@ -115,18 +120,31 @@ def _span_files(root: str, frm: int, to: int, skip_rewrites: bool) -> tuple[list
 
 
 class LakeFilePartition(InputPartition):
-    """One data file + the field-id projection that reads it through the
-    end snapshot's schema. ``path is None`` is the empty sentinel (a span
-    whose only additions were maintenance rewrites)."""
+    """One data file *slice* + the field-id projection that reads it
+    through the end snapshot's schema. ``path is None`` is the empty
+    sentinel (a span whose only additions were maintenance rewrites).
 
-    def __init__(self, path: str | None, proj: tuple, cols: list[dict]):
+    Slicing: ingest files are bounded by MAX_RECORDS_PER_FILE, but a
+    compaction base file is one file per bucket — multi-GB at the target
+    scale — so large files split into ``n_slices`` partitions that each
+    read every ``n_slices``-th parquet row group (≙ Iceberg's split-by-
+    row-group planning). The slice count comes from the manifest's
+    ``bytes`` (stamped at write; one driver ``stat`` as fallback for
+    pre-round-3 files), never from a driver-side footer read."""
+
+    def __init__(self, path: str | None, proj: tuple, cols: list[dict], slice_idx: int = 0, n_slices: int = 1):
         self.path = path
         self.proj = proj  # physical name per current column (None -> NULL)
         self.cols = cols  # end snapshot's [{"id","name","type"}]
+        self.slice_idx = slice_idx
+        self.n_slices = n_slices
+
+
+DEFAULT_SPLIT_BYTES = 128 << 20
 
 
 def _plan_partitions(
-    root: str, frm: int, to: int, skip_rewrites: bool
+    root: str, frm: int, to: int, skip_rewrites: bool, split_bytes: int = DEFAULT_SPLIT_BYTES
 ) -> list[LakeFilePartition]:
     files, snap = _span_files(root, frm, to, skip_rewrites)
     schema = T.StructType.fromJson(snap["schema"])
@@ -147,14 +165,19 @@ def _plan_partitions(
 
     if not files:
         return [LakeFilePartition(None, (), cols)]
-    return [
-        LakeFilePartition(
-            os.path.join(root, f["path"]),
-            projection(str(f.get("sv", cur_sv))),
-            cols,
-        )
-        for f in files
-    ]
+    parts = []
+    for f in files:
+        path = os.path.join(root, f["path"])
+        proj = projection(str(f.get("sv", cur_sv)))
+        size = f.get("bytes")
+        if size is None:
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                size = 0
+        n = max(1, -(-int(size) // max(1, split_bytes)))
+        parts.extend(LakeFilePartition(path, proj, cols, i, n) for i in range(n))
+    return parts
 
 
 def _read_partition(part: LakeFilePartition) -> Iterator:
@@ -176,7 +199,16 @@ def _read_partition(part: LakeFilePartition) -> Iterator:
     pf = pq.ParquetFile(part.path)
     physical = set(pf.schema_arrow.names)
     want = [p for p in part.proj if p is not None and p in physical]
-    for batch in pf.iter_batches(columns=want, batch_size=1 << 16):
+    kw = {}
+    if part.n_slices > 1:
+        # the executor (not the driver) reads the footer and takes every
+        # n-th row group; a file with fewer row groups than slices simply
+        # leaves the surplus slices empty
+        rgs = [i for i in range(pf.metadata.num_row_groups) if i % part.n_slices == part.slice_idx]
+        if not rgs:
+            return
+        kw["row_groups"] = rgs
+    for batch in pf.iter_batches(columns=want, batch_size=1 << 16, **kw):
         by_name = dict(zip(batch.schema.names, batch.columns))
         arrays = []
         for phys, field in zip(part.proj, target):
@@ -195,10 +227,15 @@ def _skip_rewrites(options) -> bool:
     return str(options.get("skiprewrites", "true")).lower() != "false"
 
 
+def _split_bytes(options) -> int:
+    return int(options.get("targetsplitbytes", 0) or 0) or DEFAULT_SPLIT_BYTES
+
+
 class LakeCdcStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.root = options["path"]
         self.skip_rewrites = _skip_rewrites(options)
+        self.split_bytes = _split_bytes(options)
         self.max_versions = int(options.get("maxversionsperbatch", 0) or 0)
         self.starting = int(options.get("startingversion", 0) or 0)
         self._last: int | None = None
@@ -220,7 +257,7 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         frm, to = int(start["version"]), int(end["version"])
         if to <= frm:
             return [LakeFilePartition(None, (), [])]
-        return _plan_partitions(self.root, frm, to, self.skip_rewrites)
+        return _plan_partitions(self.root, frm, to, self.skip_rewrites, self.split_bytes)
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         return _read_partition(partition)
@@ -241,11 +278,12 @@ class LakeCdcBatchReader(DataSourceReader):
         self.frm = int(options.get("fromversion", 0) or 0)
         self.to = int(options.get("toversion", 0) or 0) or _current_version(self.root)
         self.skip_rewrites = _skip_rewrites(options)
+        self.split_bytes = _split_bytes(options)
 
     def partitions(self) -> Sequence[InputPartition]:
         if self.to <= self.frm:
             return [LakeFilePartition(None, (), [])]
-        return _plan_partitions(self.root, self.frm, self.to, self.skip_rewrites)
+        return _plan_partitions(self.root, self.frm, self.to, self.skip_rewrites, self.split_bytes)
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         return _read_partition(partition)

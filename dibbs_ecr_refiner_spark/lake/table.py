@@ -944,9 +944,17 @@ class LakeTable:
             if not bdir.startswith("_bucket="):
                 continue
             b = int(bdir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(commit_dir, bdir))):
+            # scandir: the size comes with the directory listing (one stat
+            # the OS already did) — still zero per-file footer reads
+            for ent in sorted(os.scandir(os.path.join(commit_dir, bdir)), key=lambda e: e.name):
+                fn = ent.name
                 if fn.endswith(".parquet"):
-                    entry = {"path": f"{commit_rel}/{bdir}/{fn}", "bucket": b, "sv": new_sv}
+                    entry = {
+                        "path": f"{commit_rel}/{bdir}/{fn}",
+                        "bucket": b,
+                        "sv": new_sv,
+                        "bytes": ent.stat().st_size,
+                    }
                     if mode == "mor" and not replace_buckets:
                         entry["kind"] = "delta"
                     if replace_buckets:

@@ -92,6 +92,55 @@ def stream_replay(
     return writer.start()
 
 
+def stream_between_lakes(
+    spark: SparkSession,
+    src: LakeTable,
+    dst: LakeTable,
+    checkpoint_dir: str,
+    transform=None,
+    available_now: bool = True,
+    mode: str = "mor",
+    max_versions_per_batch: int | None = None,
+):
+    """Bronze → silver: tail ``src``'s change stream with the native
+    ``lake_cdc`` source (lake/stream_source.py) and LWW-merge each
+    micro-batch into ``dst`` — a derived lake table maintained by
+    Structured Streaming end to end, no external change log.
+
+    ``transform`` (optional, DataFrame -> DataFrame) runs per micro-batch
+    and must be row-wise-deterministic and preserve the key/order/
+    ``_deleted`` columns: the change stream is at-least-once per offset
+    span on a crash boundary, and row-wise transforms keep redelivered
+    rows identical so ``dst``'s per-batch-id skip + LWW absorb them
+    (same exactly-once argument as ``stream_replay``; a cross-row
+    transform would break the per-key replay equivalence). Tombstones flow
+    through: a delete in ``src`` deletes in ``dst``.
+
+    Maintenance on ``src`` (fold/compact/rebucket) is invisible to the
+    chain — the source skips rewrite commits — so both tables can be
+    maintained independently while the stream runs. ``mode`` defaults to
+    MOR: a long-lived chain is the steady-state regime where commit cost
+    must stay O(micro-batch), not O(table)."""
+    from ..lake.stream_source import register
+
+    register(spark)
+    reader = spark.readStream.format("lake_cdc").option("path", src.root)
+    if max_versions_per_batch:
+        reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))
+    changes = reader.load()
+
+    def handle(df, epoch_id: int):
+        out = transform(df) if transform is not None else df
+        dst.merge(out, f"chain-{epoch_id:08d}", mode=mode)
+
+    writer = changes.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_change_rates(spark: SparkSession, log_path: str, watermark: str = "1 hour"):
     """Streaming observability: per-(window, op) change rates with a
     watermark for late events — tumbling 10-minute windows over event time.

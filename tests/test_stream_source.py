@@ -264,6 +264,98 @@ def test_composes_with_downstream_aggregation(spark, tmp_path):
         q.stop()
 
 
+def test_large_file_splits_into_row_group_slices(tmp_path):
+    """A multi-GB compaction base file must not become one task: slices
+    partition the file's row groups disjointly and exhaustively."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dibbs_ecr_refiner_spark.lake.stream_source import LakeFilePartition, _read_partition
+
+    path = str(tmp_path / "big.parquet")
+    n = 1000
+    pq.write_table(
+        pa.table({"a": [f"k{i}" for i in range(n)], "n": list(range(n))}),
+        path,
+        row_group_size=64,  # -> 16 row groups
+    )
+    cols = [{"id": 1, "name": "a", "type": "string"}, {"id": 2, "name": "n", "type": "integer"}]
+    proj = ("a", "n")
+
+    whole = [
+        b for b in _read_partition(LakeFilePartition(path, proj, cols))
+    ]
+    got_whole = {v for b in whole for v in b.column(1).to_pylist()}
+    assert got_whole == set(range(n))
+
+    n_slices = 5
+    seen = []
+    for i in range(n_slices):
+        part = LakeFilePartition(path, proj, cols, slice_idx=i, n_slices=n_slices)
+        seen.append({v for b in _read_partition(part) for v in b.column(1).to_pylist()})
+    assert all(s for s in seen), "16 row groups over 5 slices: none empty"
+    assert set().union(*seen) == set(range(n))
+    assert sum(len(s) for s in seen) == n, "slices must be disjoint"
+
+
+def test_split_option_end_to_end_and_manifest_bytes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=2)
+    table.merge(
+        _delta(spark, [(f"c{i}", 0, "x" * 50, i + 1, False) for i in range(40)]), "b0"
+    )
+    # write path stamps sizes so the planner never stats (or reads) files
+    assert all(f.get("bytes", 0) > 0 for f in table.current_snapshot()["files"])
+
+    register(spark)
+    base = spark.read.format("lake_cdc").option("path", root).load()
+    sliced = (
+        spark.read.format("lake_cdc")
+        .option("path", root)
+        .option("targetSplitBytes", "512")  # force several slices per file
+        .load()
+    )
+    assert sliced.rdd.getNumPartitions() > base.rdd.getNumPartitions()
+    assert _key_set(sliced.collect()) == _key_set(base.collect())
+
+
+def test_stream_between_lakes_bronze_to_silver(spark, tmp_path):
+    """A derived lake table maintained by the native stream end to end:
+    row-wise transform, tombstone propagation, checkpoint resume with no
+    duplicate application, and fold-on-source invisibility."""
+    from pyspark.sql import functions as F
+
+    from dibbs_ecr_refiner_spark.streaming.apply import stream_between_lakes
+
+    bronze = LakeTable(spark, str(tmp_path / "bronze"), num_buckets=2)
+    silver = LakeTable(spark, str(tmp_path / "silver"), num_buckets=2)
+    cp = str(tmp_path / "cp")
+    xform = lambda df: df.withColumn("text", F.upper(F.col("text")))  # noqa: E731
+
+    bronze.merge(_delta(spark, [("c1", 0, "a", 1, False), ("c2", 0, "b", 2, False)]), "b0")
+    q = stream_between_lakes(spark, bronze, silver, cp, transform=xform)
+    q.awaitTermination()
+    assert {r["text"] for r in silver.read().collect()} == {"A", "B"}
+
+    # upsert + tombstone land in bronze while no chain is running
+    bronze.merge(_delta(spark, [("c1", 0, "a2", 3, False), ("c2", 0, None, 4, True)]), "b1", mode="mor")
+    # a fold on bronze must not re-deliver the table through the chain
+    maintenance.compact(bronze)
+    v_silver = silver.current_snapshot()["snapshot_id"]
+
+    q = stream_between_lakes(spark, bronze, silver, cp, transform=xform)
+    q.awaitTermination()
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in silver.read().collect()}
+    assert got == {("c1", 0): "A2"}, "upsert transformed, tombstone propagated"
+    # exactly one real commit (the b1 span); the fold contributed nothing
+    assert silver.current_snapshot()["snapshot_id"] == v_silver + 1
+
+    # re-running with nothing new leaves silver untouched
+    q = stream_between_lakes(spark, bronze, silver, cp, transform=xform)
+    q.awaitTermination()
+    assert silver.current_snapshot()["snapshot_id"] == v_silver + 1
+
+
 def test_empty_table_schema_inference_raises(spark, tmp_path):
     register(spark)
     root = str(tmp_path / "empty")
