@@ -25,6 +25,7 @@ _MODULES = (temporal, relational, cdcq, text, vectors, multimodal)
 # CORRECTNESS_r{N}.json.
 _CHECK_FIRST = [
     # never driver-checked (green in local tools/check_contract.py runs)
+    "cdc_source_span",
     "ann_topk",
     "ann_ivf_topk",
     "dedup_simhash_pairs",

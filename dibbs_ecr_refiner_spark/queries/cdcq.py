@@ -301,3 +301,68 @@ def session_window_agg(spark, sf):
             "n_events",
         )
     )
+
+
+@q(
+    "cdc_source_span",
+    """
+    WITH mapped AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(event_id % 50 AS INT) AS turn_idx,
+             ts, event_id AS change_lsn, event_type AS role
+      FROM events WHERE event_id % 2 = 1
+    ), w AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, change_lsn DESC) AS rn
+      FROM mapped)
+    SELECT role, COUNT(*) AS n,
+           CAST(SUM(change_lsn) AS BIGINT) AS sum_lsn,
+           MAX(ts) AS max_ts
+    FROM w WHERE rn = 1 GROUP BY role ORDER BY role
+    """,
+)
+def cdc_source_span(spark, sf):
+    """End-to-end oracle for the NATIVE streaming CDC source
+    (lake/stream_source.py): build a two-batch lake table from `events`
+    (second batch merge-on-read, so its delta files are exactly the
+    batch's LWW winners), read the incremental span (v1, v2] through
+    ``spark.read.format("lake_cdc").option("fromVersion", 1)``, and
+    aggregate. This drives merge → manifest span walk → per-file Arrow
+    partitions → field-id projection through the driver's DuckDB check;
+    the oracle recomputes the second batch's winners with window SQL.
+    """
+    import tempfile
+
+    from ..lake.stream_source import register
+    from ..lake.table import LakeTable
+
+    delta = _events(spark, sf).select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 50).cast("int").alias("turn_idx"),
+        F.col("ts"),
+        F.col("event_id").alias("change_lsn"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(False).alias("_deleted"),
+    )
+    work = tempfile.mkdtemp(prefix="cdc-source-span-")
+    t = LakeTable(spark, f"{work}/lake", num_buckets=8)
+    t.merge(delta.where(F.col("change_lsn") % 2 == 0), "b0")
+    t.merge(delta.where(F.col("change_lsn") % 2 == 1), "b1", mode="mor")
+    register(spark)
+    span = (
+        spark.read.format("lake_cdc")
+        .option("path", f"{work}/lake")
+        .option("fromVersion", 1)
+        .load()
+    )
+    return (
+        span.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("change_lsn").alias("sum_lsn"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("role")
+    )
