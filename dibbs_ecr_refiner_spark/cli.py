@@ -34,6 +34,7 @@ def cmd_generate(args) -> dict:
         turns_per_conv=args.turns,
         n_events=args.events,
         n_batches=args.batches,
+        batch_prefix=args.batch_prefix,
     )
     write_changes(spark, args.changelog, params)
     return {"cmd": "generate", "changelog": args.changelog, "events": args.events}
@@ -142,6 +143,51 @@ def cmd_changes(args) -> dict:
         "lsn_min": agg["lsn_min"],
         "lsn_max": agg["lsn_max"],
         "out": args.out,
+    }
+
+
+def cmd_stream(args) -> dict:
+    """Incremental CDC export via the NATIVE streaming source
+    (lake/stream_source.py): drain every commit since the checkpoint's
+    last offset into a parquet directory and stop (availableNow). Re-runs
+    resume from the checkpoint, so cron-ing this command gives an
+    exactly-once incremental export — the streaming sibling of
+    ``changes --out`` (which re-scans an explicit version span)."""
+    from dibbs_ecr_refiner_spark.lake.stream_source import register
+
+    spark = _spark(args)
+    register(spark)
+    reader = spark.readStream.format("lake_cdc").option("path", args.table)
+    if args.from_version:
+        reader = reader.option("startingVersion", str(args.from_version))
+    if args.max_versions_per_batch:
+        reader = reader.option("maxVersionsPerBatch", str(args.max_versions_per_batch))
+    def _count() -> int:
+        # the file sink's _spark_metadata manifest makes this exact
+        try:
+            return spark.read.parquet(args.out).count()
+        except Exception:
+            return 0  # first run: out dir doesn't exist yet
+
+    before = _count()
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", args.out)
+        .option("checkpointLocation", args.checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # counted from the sink manifest, not query progress events (those are
+    # posted async and can lag an availableNow termination)
+    total = _count()
+    return {
+        "cmd": "stream",
+        "table": args.table,
+        "out": args.out,
+        "rows_drained": total - before,
+        "rows_total": total,
     }
 
 
@@ -304,6 +350,12 @@ def main(argv=None) -> int:
     g.add_argument("--conversations", type=int, default=1000)
     g.add_argument("--turns", type=int, default=24)
     g.add_argument("--batches", type=int, default=4)
+    g.add_argument(
+        "--batch-prefix",
+        default="batch",
+        help="batch-id prefix; must differ between logs replayed into the "
+        "same table (the applied-batches registry is id-keyed)",
+    )
 
     r = sub.add_parser("replay", help="apply a change log to a lake table")
     r.add_argument("--changelog", required=True)
@@ -376,6 +428,16 @@ def main(argv=None) -> int:
     ch.add_argument("--to-version", type=int, default=None)
     ch.add_argument("--out", default=None, help="optional parquet dir to write the feed")
 
+    st = sub.add_parser(
+        "stream",
+        help="exactly-once incremental CDC export (native streaming source, drains and stops)",
+    )
+    st.add_argument("--table", required=True)
+    st.add_argument("--out", required=True, help="parquet dir the change stream appends to")
+    st.add_argument("--checkpoint", required=True, help="streaming checkpoint dir (the cursor)")
+    st.add_argument("--from-version", type=int, default=None)
+    st.add_argument("--max-versions-per-batch", type=int, default=None)
+
     args = ap.parse_args(argv)
     out = {
         "generate": cmd_generate,
@@ -385,6 +447,7 @@ def main(argv=None) -> int:
         "gc": cmd_gc,
         "events": cmd_events,
         "changes": cmd_changes,
+        "stream": cmd_stream,
         "tail": cmd_tail,
         "rebucket": cmd_rebucket,
         "expire": cmd_expire,

@@ -132,3 +132,35 @@ def test_cli_refine_one_simulator(spark, tmp_path, capsys):
 
     # read-only: no new snapshot was committed
     assert table.current_snapshot()["snapshot_id"] == snap_before
+
+
+def test_cli_stream_incremental_export(spark, tmp_path, capsys):
+    """`stream` drains new commits exactly once per invocation: first run
+    exports the table, an idle re-run drains nothing, a post-commit run
+    drains only the new span — and the output dir accumulates all of it."""
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "export")
+    cp = str(tmp_path / "cp")
+
+    _run(capsys, "generate", "--changelog", log, "--events", "1000",
+         "--conversations", "20", "--batches", "1")
+    _run(capsys, "replay", "--changelog", log, "--table", table,
+         "--buckets", "8", "--mode", "mor")
+
+    first = _run(capsys, "stream", "--table", table, "--out", out, "--checkpoint", cp)
+    assert first["rows_drained"] > 0
+
+    idle = _run(capsys, "stream", "--table", table, "--out", out, "--checkpoint", cp)
+    assert idle["rows_drained"] == 0
+
+    log2 = str(tmp_path / "log2")
+    _run(capsys, "generate", "--changelog", log2, "--events", "300",
+         "--conversations", "20", "--batches", "1", "--batch-prefix", "b2")
+    _run(capsys, "replay", "--changelog", log2, "--table", table,
+         "--buckets", "8", "--mode", "mor")
+    third = _run(capsys, "stream", "--table", table, "--out", out, "--checkpoint", cp)
+    assert third["rows_drained"] > 0
+
+    exported = spark.read.parquet(out).count()
+    assert exported == first["rows_drained"] + third["rows_drained"]
