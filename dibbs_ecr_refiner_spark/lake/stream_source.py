@@ -93,14 +93,18 @@ def _snapshot(root: str, v: int) -> dict:
         return json.load(f)
 
 
-def _span_files(root: str, frm: int, to: int, skip_rewrites: bool) -> tuple[list[dict], dict]:
-    """Data files added in ``(frm, to]`` + the end snapshot — the same walk
-    as ``LakeTable.read_changes`` (see there for the superseded-delta and
+def _span_files(root: str, frm: int, to: int, skip_rewrites: bool) -> tuple[list[dict], dict, dict]:
+    """Data files added in ``(frm, to]`` + the end snapshot + the era map
+    merged across every manifest the walk visited — the same walk as
+    ``LakeTable.read_changes`` (see there for the superseded-delta and
     expired-manifest rationale), on raw manifests so the streaming driver
-    never needs a LakeTable or SparkSession."""
+    never needs a LakeTable or SparkSession. The merged era map matters
+    for superseded delta files: a fold inside the span can prune their
+    era from the END manifest while the walk still delivers the file."""
     new = _snapshot(root, to)
+    eras = {str(k): v for k, v in new.get("schemas", {}).items()}
     if frm <= 0:
-        return list(new["files"]), new
+        return list(new["files"]), new, eras
     old_paths = {f["path"] for f in _snapshot(root, frm)["files"]}
     added = [f for f in new["files"] if f["path"] not in old_paths]
     if skip_rewrites:
@@ -109,6 +113,8 @@ def _span_files(root: str, frm: int, to: int, skip_rewrites: bool) -> tuple[list
             prev = set(old_paths)
             for v in range(frm + 1, to + 1):
                 s = _snapshot(root, v)
+                for sv, c in s.get("schemas", {}).items():
+                    eras.setdefault(str(sv), c)
                 for f in s["files"]:
                     if f["path"] not in prev and not f.get("rewrite") and f["path"] not in span:
                         span[f["path"]] = f
@@ -116,7 +122,7 @@ def _span_files(root: str, frm: int, to: int, skip_rewrites: bool) -> tuple[list
             added = list(span.values())
         except FileNotFoundError:
             pass
-    return added, new
+    return added, new, eras
 
 
 class LakeFilePartition(InputPartition):
@@ -143,18 +149,32 @@ class LakeFilePartition(InputPartition):
 DEFAULT_SPLIT_BYTES = 128 << 20
 
 
-def _plan_partitions(
-    root: str, frm: int, to: int, skip_rewrites: bool, split_bytes: int = DEFAULT_SPLIT_BYTES
-) -> list[LakeFilePartition]:
-    files, snap = _span_files(root, frm, to, skip_rewrites)
-    schema = T.StructType.fromJson(snap["schema"])
-    cols = snap.get("columns") or [
+def _snapshot_cols(snap: dict) -> list[dict]:
+    return snap.get("columns") or [
         {"id": i + 1, "name": f.name, "type": f.dataType.jsonValue()}
-        for i, f in enumerate(schema.fields)
+        for i, f in enumerate(T.StructType.fromJson(snap["schema"]).fields)
     ]
+
+
+def _plan_partitions(
+    root: str,
+    frm: int,
+    to: int,
+    skip_rewrites: bool,
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
+    pin_cols: list[dict] | None = None,
+) -> list[LakeFilePartition]:
+    """``pin_cols`` projects the span onto a FIXED column set (by field
+    id) instead of the end snapshot's: a streaming query's schema is
+    immutable for the life of the query, so after a mid-stream column
+    add / rename / drop the reader must keep emitting the columns the
+    query started with — ids stay stable across renames, a dropped id
+    NULL-fills, and a column added after the pin is invisible until the
+    stream restarts (≙ Iceberg's schema-pinned incremental scan)."""
+    files, snap, schemas = _span_files(root, frm, to, skip_rewrites)
+    cols = pin_cols if pin_cols is not None else _snapshot_cols(snap)
     cur_sv = str(snap.get("schema_version", 0))
-    schemas = {str(k): v for k, v in snap.get("schemas", {}).items()}
-    schemas.setdefault(cur_sv, cols)
+    schemas.setdefault(cur_sv, _snapshot_cols(snap))
     proj_cache: dict[str, tuple] = {}
 
     def projection(sv: str) -> tuple:
@@ -239,6 +259,11 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         self.max_versions = int(options.get("maxversionsperbatch", 0) or 0)
         self.starting = int(options.get("startingversion", 0) or 0)
         self._last: int | None = None
+        # pin the query's column set NOW (the declared schema is immutable
+        # for the life of the query); an empty table pins lazily at the
+        # first non-empty span
+        v = _current_version(self.root)
+        self._pin_cols = _snapshot_cols(_snapshot(self.root, v)) if v > 0 else None
 
     def initialOffset(self) -> dict:
         self._last = self.starting
@@ -257,7 +282,11 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         frm, to = int(start["version"]), int(end["version"])
         if to <= frm:
             return [LakeFilePartition(None, (), [])]
-        return _plan_partitions(self.root, frm, to, self.skip_rewrites, self.split_bytes)
+        if self._pin_cols is None:
+            self._pin_cols = _snapshot_cols(_snapshot(self.root, to))
+        return _plan_partitions(
+            self.root, frm, to, self.skip_rewrites, self.split_bytes, self._pin_cols
+        )
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         return _read_partition(partition)
@@ -303,6 +332,10 @@ class LakeCdcDataSource(DataSource):
                 "nothing to infer a schema from (merge a first batch, or "
                 "pass an explicit .schema(...))"
             )
+        # pin the endpoint the schema came from, so a commit racing between
+        # schema inference and reader planning can't shift the batch scan
+        # onto a newer (possibly evolved) snapshot than the one inferred
+        self.options["toversion"] = str(v)
         return T.StructType.fromJson(_snapshot(root, v)["schema"])
 
     def streamReader(self, schema) -> LakeCdcStreamReader:

@@ -356,6 +356,64 @@ def test_stream_between_lakes_bronze_to_silver(spark, tmp_path):
     assert silver.current_snapshot()["snapshot_id"] == v_silver + 1
 
 
+def test_mid_stream_rename_keeps_the_pinned_query_schema(spark, tmp_path):
+    """A streaming query's schema is immutable once started: a rename
+    committed mid-stream must not change the emitted column names — the
+    pinned field ids keep routing the renamed column's values to the name
+    the query started with."""
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=2)
+    table.merge(_delta(spark, [("c1", 0, "before", 1, False)]), "b0")
+
+    sink = Sink()
+    q = _stream(spark, root, str(tmp_path / "cp"), sink)
+    try:
+        q.processAllAvailable()
+        table.rename_column("text", "body")
+        renamed = spark.createDataFrame(
+            [("c2", 0, TS, 2, "user", "after", None, False)],
+            SCHEMA.replace(" text ", " body "),
+        )
+        table.merge(renamed, "b1", mode="mor")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["conv_id"]: r["text"] for r in sink.rows}
+    assert got == {"c1": "before", "c2": "after"}
+
+
+def test_mid_stream_added_column_is_invisible_until_restart(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=2)
+    table.merge(_delta(spark, [("c1", 0, "a", 1, False)]), "b0")
+
+    sink = Sink()
+    q = _stream(spark, root, str(tmp_path / "cp"), sink)
+    try:
+        q.processAllAvailable()
+        widened = spark.createDataFrame(
+            [("c2", 0, TS, 2, "user", "b", None, "fr", False)],
+            SCHEMA.replace(" _deleted", " lang string, _deleted"),
+        )
+        table.merge(widened, "b1", mode="mor")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the running query keeps its pinned columns — no crash, no new field
+    assert "lang" not in sink.rows[-1].asDict()
+    assert _key_set(sink.rows) == {("c1", 0, 1), ("c2", 0, 2)}
+
+    # a fresh query (new checkpoint) picks the evolved schema up
+    s2 = Sink()
+    q = _stream(spark, root, str(tmp_path / "cp2"), s2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    langs = {r["conv_id"]: r["lang"] for r in s2.rows}
+    assert langs == {"c1": None, "c2": "fr"}
+
+
 def test_empty_table_schema_inference_raises(spark, tmp_path):
     register(spark)
     root = str(tmp_path / "empty")
