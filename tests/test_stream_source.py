@@ -134,6 +134,29 @@ def test_maintenance_fold_is_invisible_to_the_stream(spark, tmp_path):
         q.stop()
 
 
+def test_rebucket_is_invisible_and_stream_survives_it(spark, tmp_path):
+    """Partition evolution mid-stream: a rebucket rewrites every file under
+    a new bucket count, but it's a rewrite commit — the stream must deliver
+    nothing for it and keep working for real commits after it."""
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=2)
+    table.merge(_delta(spark, [("c1", 0, "a", 1, False), ("c2", 0, "b", 2, False)]), "b0")
+
+    sink = Sink()
+    q = _stream(spark, root, str(tmp_path / "cp"), sink)
+    try:
+        q.processAllAvailable()
+        n = len(sink.rows)
+        maintenance.rebucket(table, 4)
+        q.processAllAvailable()
+        assert len(sink.rows) == n, "rebucket must not re-deliver the table"
+        table.merge(_delta(spark, [("c3", 0, "c", 3, False)]), "b1", mode="mor")
+        q.processAllAvailable()
+        assert _key_set(sink.rows[n:]) == {("c3", 0, 3)}
+    finally:
+        q.stop()
+
+
 def test_rename_era_projection_reads_old_files_by_field_id(spark, tmp_path):
     root = str(tmp_path / "t")
     table = LakeTable(spark, root, num_buckets=2)
