@@ -112,26 +112,33 @@ def expire_snapshots(table: LakeTable, keep_last: int = 5) -> dict:
     return {"expired": expired, "keep_last": keep_last, "current": cur}
 
 
-def _retained_references(table: LakeTable) -> set[str]:
-    """Every data-file path referenced by ANY retained manifest. GC must
-    honor the full retained history, not just the current snapshot —
-    otherwise compaction + GC would tear files out from under time travel
-    (``read(version=...)``) and incremental scans."""
+def _retained_references(table: LakeTable) -> tuple[set[str], set[str]]:
+    """(data-file paths, manifest-segment paths) referenced by ANY
+    retained manifest. GC must honor the full retained history, not just
+    the current snapshot — otherwise compaction + GC would tear files out
+    from under time travel (``read(version=...)``) and incremental
+    scans. Segment paths are collected from the RAW manifests so GC can
+    also sweep segments orphaned by expire/abort/conflict."""
     import json
     import os
     import re
 
+    from . import manifests as _mf
+
     refs: set[str] = set()
+    seg_refs: set[str] = set()
     for fn in os.listdir(table._manifest_dir):
         if not re.fullmatch(r"v\d{8}\.json", fn):
             continue
         try:
             with open(os.path.join(table._manifest_dir, fn)) as f:
-                snap = json.load(f)
+                raw = json.load(f)
+            seg_refs.update(_mf.segment_refs(raw))
+            snap = _mf.inflate(table._manifest_dir, raw)
             refs.update(f_["path"] for f_ in snap["files"])
         except (OSError, json.JSONDecodeError):
             continue
-    return refs
+    return refs, seg_refs
 
 
 def gc_orphans(table: LakeTable, min_age_sec: float = 3600.0) -> dict:
@@ -144,9 +151,24 @@ def gc_orphans(table: LakeTable, min_age_sec: float = 3600.0) -> dict:
     import os
     import shutil
 
-    referenced = _retained_references(table)
+    referenced, referenced_segs = _retained_references(table)
     now = time.time()
     removed_dirs, removed_files = 0, 0
+
+    # Manifest segments (lake/manifests.py) orphaned by expire_snapshots,
+    # abort_snapshot, or a SnapshotConflict loser: a segment is live while
+    # any retained v*.json references it; the age guard protects segments
+    # written by an in-flight commit whose snapshot file isn't down yet.
+    removed_segs = 0
+    import re as _re
+
+    for fn in os.listdir(table._manifest_dir):
+        if not _re.fullmatch(r"seg-[0-9a-f]+\.json", fn):
+            continue
+        p = os.path.join(table._manifest_dir, fn)
+        if fn not in referenced_segs and now - os.path.getmtime(p) >= min_age_sec:
+            os.remove(p)
+            removed_segs += 1
 
     for token_dir in os.listdir(table._staging_dir):
         p = os.path.join(table._staging_dir, token_dir)
@@ -194,7 +216,11 @@ def gc_orphans(table: LakeTable, min_age_sec: float = 3600.0) -> dict:
         if now - os.path.getmtime(p) >= min_age_sec:
             shutil.rmtree(p, ignore_errors=True)
             removed_dirs += 1
-    return {"removed_dirs": removed_dirs, "removed_files": removed_files}
+    return {
+        "removed_dirs": removed_dirs,
+        "removed_files": removed_files,
+        "removed_segments": removed_segs,
+    }
 
 
 def rebucket(table: LakeTable, new_num_buckets: int, post=None) -> dict:

@@ -62,9 +62,10 @@ streaming read.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Iterator, Sequence
+
+from . import manifests
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -89,8 +90,11 @@ def _current_version(root: str) -> int:
 
 
 def _snapshot(root: str, v: int) -> dict:
-    with open(os.path.join(root, "_manifests", f"v{v:08d}.json")) as f:
-        return json.load(f)
+    # manifests.load_snapshot inflates segmented manifests; its segment
+    # cache makes the version-by-version span walk below cheap (adjacent
+    # snapshots share almost all bucket segments). Pure stdlib — safe on
+    # executors and on a SparkSession-less streaming driver alike.
+    return manifests.load_snapshot(os.path.join(root, "_manifests"), v)
 
 
 def _span_files(root: str, frm: int, to: int, skip_rewrites: bool) -> tuple[list[dict], dict, dict]:

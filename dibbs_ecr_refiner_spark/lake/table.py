@@ -78,6 +78,7 @@ from pyspark.sql import types as T
 # stays a single os.replace with zero per-file footer reads (pinned by
 # test_no_driver_side_footer_reads, which bans the footer-reading library
 # from THIS module — the reader lives in lake/stats.py).
+from . import manifests as _mf
 from .stats import STATS_COLS, _stats_keep, _ts_us, file_column_stats  # noqa: F401
 
 FORMAT_VERSION = 1
@@ -287,15 +288,16 @@ class LakeTable:
         v = self._current_version()
         if v is None:
             return None
-        with open(os.path.join(self._manifest_dir, f"v{v:08d}.json")) as f:
-            return json.load(f)
+        return _mf.load_snapshot(self._manifest_dir, v)
 
     def snapshot(self, version: int | None = None) -> dict | None:
-        """A specific retained snapshot (time travel), or the current one."""
+        """A specific retained snapshot (time travel), or the current one.
+        Segmented manifests are inflated back to the inline ``files`` /
+        ``applied_batches`` shape here, so every consumer sees one format
+        (see ``lake/manifests.py`` for the commit-cost rationale)."""
         if version is None:
             return self.current_snapshot()
-        with open(os.path.join(self._manifest_dir, f"v{version:08d}.json")) as f:
-            return json.load(f)
+        return _mf.load_snapshot(self._manifest_dir, version)
 
     def _commit(self, manifest: dict, publish: bool = True) -> None:
         """Two-step atomic commit: immutable snapshot file (fails if a
@@ -581,7 +583,11 @@ class LakeTable:
             },
             **(extra or {}),
         }
-        self._commit(manifest)
+        # Metadata-only commit: zero data files changed, so every file
+        # segment is carried by path — the commit writes ONE small
+        # snapshot JSON regardless of table size (unless the parent was a
+        # legacy inline manifest, whose first touch writes the segments).
+        self._commit(_mf.deflate(self._manifest_dir, manifest, snap, set()))
         return manifest
 
     def drop_column(self, name: str) -> dict:
@@ -690,8 +696,7 @@ class LakeTable:
         for fn in sorted(os.listdir(self._manifest_dir)):
             if not re.fullmatch(r"v\d{8}\.json", fn):
                 continue
-            with open(os.path.join(self._manifest_dir, fn)) as f:
-                s = json.load(f)
+            s = _mf.load_snapshot(self._manifest_dir, int(fn[1:-5]))
             n_delta = sum(1 for x in s["files"] if x.get("kind", "base") == "delta")
             rows.append(
                 (
@@ -800,7 +805,10 @@ class LakeTable:
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
-        snap = self.current_snapshot()
+        # Defensive inflate: current_snapshot() already inflates, but a
+        # caller racing through merge_with_retry may hand us a raw on-disk
+        # snapshot dict; inflation is idempotent either way.
+        snap = _mf.inflate(self._manifest_dir, self.current_snapshot())
         if snap and batch_id in snap["applied_batches"]:
             return {"skipped": True, "batch_id": batch_id}
 
@@ -1037,7 +1045,15 @@ class LakeTable:
             "applied_batches": applied,
             "dropped_columns": snap.get("dropped_columns", []) if snap else [],
         }
-        self._commit(manifest, publish=publish)
+        # Segmented commit: only the buckets this commit touched get their
+        # file segment rewritten; every other bucket's segment is carried
+        # by path — metadata write cost O(touched), not O(all files). A
+        # COW/replace commit changes exactly `touched`; MOR delta files
+        # land inside `touched` too; a rebucket changes num_buckets, which
+        # deflate detects and rewrites everything.
+        changed = set(touched) | {int(f["bucket"]) for f in new_files}
+        disk = _mf.deflate(self._manifest_dir, manifest, snap, changed)
+        self._commit(disk, publish=publish)
         return {
             "skipped": False,
             "batch_id": batch_id,
