@@ -92,14 +92,31 @@ def cmd_expire(args) -> dict:
     return {"cmd": "expire", **expire_snapshots(table, keep_last=args.keep_last)}
 
 
-def cmd_export(args) -> dict:
-    """Export the clean transcripts view for downstream consumers (simple
-    columns only, so every format works)."""
+def cmd_tag(args) -> dict:
+    """Named snapshot refs (≙ Iceberg tags) — pin the exact dataset
+    version a training run read; tagged snapshots survive expire/GC."""
     from dibbs_ecr_refiner_spark.lake.table import LakeTable
 
     spark = _spark(args)
     table = LakeTable(spark, args.table)
-    df = table.read_transcripts()
+    if args.delete:
+        if args.name is None:
+            raise SystemExit("tag --delete requires --name")
+        return {"cmd": "tag", **table.delete_tag(args.name)}
+    if args.name is None:
+        return {"cmd": "tag", "tags": table.tags()}
+    return {"cmd": "tag", **table.tag(args.name, version=args.version, note=args.note)}
+
+
+def cmd_export(args) -> dict:
+    """Export the clean transcripts view for downstream consumers (simple
+    columns only, so every format works). ``--tag`` exports the pinned
+    snapshot a named ref points at (reproducible dataset exports)."""
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    df = table.read_transcripts(tag=args.tag) if args.tag else table.read_transcripts()
     w = df.write.mode("overwrite")
     if args.format == "csv":
         w = w.option("header", "true").option("escape", '"')
@@ -393,6 +410,14 @@ def main(argv=None) -> int:
     xp.add_argument("--table", required=True)
     xp.add_argument("--out", required=True)
     xp.add_argument("--format", choices=["parquet", "json", "csv"], default="parquet")
+    xp.add_argument("--tag", help="export the snapshot this named ref pins")
+
+    tg = sub.add_parser("tag", help="named snapshot refs: pin/list/delete (expiry-protected)")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", help="tag name (omit to list tags)")
+    tg.add_argument("--version", type=int, help="snapshot to pin (default: current)")
+    tg.add_argument("--note", help="free-form note stored with the tag")
+    tg.add_argument("--delete", action="store_true")
 
     ex = sub.add_parser("expire", help="expire old snapshots (bound the time-travel horizon)")
     ex.add_argument("--table", required=True)
@@ -452,6 +477,7 @@ def main(argv=None) -> int:
         "rebucket": cmd_rebucket,
         "expire": cmd_expire,
         "export": cmd_export,
+        "tag": cmd_tag,
         "refine-one": cmd_refine_one,
     }[args.cmd](args)
     print(json.dumps(out))

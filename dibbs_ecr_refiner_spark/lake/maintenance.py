@@ -100,16 +100,20 @@ def expire_snapshots(table: LakeTable, keep_last: int = 5) -> dict:
     cur = table._current_version()
     if cur is None:
         return {"expired": 0}
+    # Tagged snapshots are pinned outside the horizon: a tag is a
+    # reproducibility promise ("training run X read exactly this"), so it
+    # and its data files survive until the tag is deleted.
+    pinned = {int(t["version"]) for t in table.tags().values()}
     expired = 0
     for fn in sorted(os.listdir(table._manifest_dir)):
         m = re.fullmatch(r"v(\d{8})\.json", fn)
         if not m:
             continue
         v = int(m.group(1))
-        if v != cur and v <= cur - keep_last:
+        if v != cur and v <= cur - keep_last and v not in pinned:
             os.remove(os.path.join(table._manifest_dir, fn))
             expired += 1
-    return {"expired": expired, "keep_last": keep_last, "current": cur}
+    return {"expired": expired, "keep_last": keep_last, "current": cur, "pinned": sorted(pinned)}
 
 
 def _retained_references(table: LakeTable) -> tuple[set[str], set[str]]:

@@ -352,6 +352,61 @@ class LakeTable:
         snap = self.current_snapshot()
         return T.StructType.fromJson(snap["schema"]) if snap else None
 
+    # ---------------- refs (named snapshots) ----------------
+    #
+    # ≙ Iceberg tags: an immutable name → snapshot_id pin. The use case
+    # this engine cares about is dataset reproducibility — "train run X
+    # read exactly tag `corpus-2026-08`" — so a tagged snapshot is
+    # excluded from expire_snapshots' horizon and its data files stay
+    # GC-protected (gc honors every retained manifest) until the tag is
+    # deleted. Refs live in ONE small JSON file: O(refs), not O(history),
+    # swapped atomically; tags are immutable (create/delete, no repoint)
+    # so concurrent taggers can only collide on a NAME, never move each
+    # other's pins.
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self._manifest_dir, "_refs.json")
+
+    def tags(self) -> dict[str, dict]:
+        if not os.path.exists(self._refs_path):
+            return {}
+        with open(self._refs_path) as f:
+            return json.load(f).get("tags", {})
+
+    def tag(self, name: str, version: int | None = None, note: str | None = None) -> dict:
+        """Pin ``name`` to a retained snapshot (default: current)."""
+        v = int(version) if version is not None else self._current_version()
+        if v is None:
+            raise ValueError("table has no snapshot to tag")
+        self.snapshot(v)  # raises FileNotFoundError for an expired/unknown version
+        tags = self.tags()
+        if name in tags:
+            raise ValueError(f"tag {name!r} already pins v{tags[name]['version']}")
+        tags[name] = {"version": v, "created_at": time.time(), **({"note": note} if note else {})}
+        self._write_refs(tags)
+        return {"tag": name, "version": v}
+
+    def delete_tag(self, name: str) -> dict:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r}")
+        gone = tags.pop(name)
+        self._write_refs(tags)
+        return {"tag": name, "version": gone["version"], "deleted": True}
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r}")
+        return int(tags[name]["version"])
+
+    def _write_refs(self, tags: dict) -> None:
+        tmp = self._refs_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"tags": tags}, f, indent=1, sort_keys=True)
+        os.rename(tmp, self._refs_path)
+
     # ---------------- field-id plumbing ----------------
 
     @staticmethod
@@ -437,6 +492,7 @@ class LakeTable:
         version: int | None = None,
         conv_id_eq: str | None = None,
         min_ts=None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read a snapshot (current, or ``version`` for time travel),
         pruning to ``buckets`` via the manifest file list (no directory
@@ -462,7 +518,14 @@ class LakeTable:
         ts < min_ts — and so does any lower-ordered row a prune could
         falsely promote — and both fail the post-filter identically.
         (Pruning on ``change_lsn`` — the tiebreak column — would NOT be
-        safe: 10% of events carry ts out of lsn order by construction.)"""
+        safe: 10% of events carry ts out of lsn order by construction.)
+
+        ``tag``: read the snapshot a named ref pins (``table.tag(...)``) —
+        time travel by name, expiry-protected."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self.resolve_tag(tag)
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"]) if snap else None
         has_delta = False
@@ -670,9 +733,12 @@ class LakeTable:
         argument. Un-stamped files (fresh ingest) are always scanned."""
         return self.read(min_ts=min_ts, include_tombstones=include_tombstones)
 
-    def read_transcripts(self) -> DataFrame:
-        """User-facing view: the clean transcripts table of FIXTURES.md §1."""
-        return self.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def read_transcripts(self, version: int | None = None, tag: str | None = None) -> DataFrame:
+        """User-facing view: the clean transcripts table of FIXTURES.md §1.
+        ``tag``/``version`` time-travel the view (reproducible exports)."""
+        return self.read(version=version, tag=tag).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
 
     def read_remainder(self) -> DataFrame:
         """The remainder view (≙ remainder RRs, reference
