@@ -11,9 +11,9 @@ Modules:
 
 from __future__ import annotations
 
-from . import cdcq, multimodal, relational, temporal, text, vectors
+from . import cdcq, multimodal, relational, sampling, temporal, text, vectors
 
-_MODULES = (temporal, relational, cdcq, text, vectors, multimodal)
+_MODULES = (temporal, relational, cdcq, text, vectors, multimodal, sampling)
 
 # The driver's correctness sweep checks at most ~50 queries per round, in
 # registry order; the registry holds 71. Rotation policy: least-recently
@@ -25,6 +25,9 @@ _MODULES = (temporal, relational, cdcq, text, vectors, multimodal)
 # CORRECTNESS_r{N}.json.
 _CHECK_FIRST = [
     # never driver-checked (green in local tools/check_contract.py runs)
+    "split_assign",
+    "pack_sequences",
+    "domain_mix_sample",
     "cdc_source_span",
     "ann_topk",
     "ann_ivf_topk",
