@@ -92,6 +92,17 @@ def cmd_expire(args) -> dict:
     return {"cmd": "expire", **expire_snapshots(table, keep_last=args.keep_last)}
 
 
+def cmd_fsck(args) -> dict:
+    """Metadata consistency check: segments, data files, eras, watermark
+    monotonicity across every retained snapshot. Driver-side only."""
+    from dibbs_ecr_refiner_spark.lake.maintenance import verify_table
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    return {"cmd": "fsck", **verify_table(table)}
+
+
 def cmd_tag(args) -> dict:
     """Named snapshot refs (≙ Iceberg tags) — pin the exact dataset
     version a training run read; tagged snapshots survive expire/GC."""
@@ -142,7 +153,9 @@ def cmd_changes(args) -> dict:
 
     spark = _spark(args)
     table = LakeTable(spark, args.table, num_buckets=args.buckets)
-    feed = table.read_changes(args.from_version, args.to_version)
+    feed = table.read_changes(
+        args.from_version, args.to_version, from_tag=args.from_tag, to_tag=args.to_tag
+    )
     agg = feed.agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("_deleted").cast("long")).alias("deletes"),
@@ -153,8 +166,10 @@ def cmd_changes(args) -> dict:
         feed.write.mode("overwrite").parquet(args.out)
     return {
         "cmd": "changes",
-        "from": args.from_version,
-        "to": args.to_version or table.current_snapshot()["snapshot_id"],
+        "from": args.from_version or (table.resolve_tag(args.from_tag) if args.from_tag else None),
+        "to": args.to_version
+        or (table.resolve_tag(args.to_tag) if args.to_tag else None)
+        or table.current_snapshot()["snapshot_id"],
         "rows": int(agg["rows"] or 0),
         "deletes": int(agg["deletes"] or 0),
         "lsn_min": agg["lsn_min"],
@@ -412,6 +427,9 @@ def main(argv=None) -> int:
     xp.add_argument("--format", choices=["parquet", "json", "csv"], default="parquet")
     xp.add_argument("--tag", help="export the snapshot this named ref pins")
 
+    fs = sub.add_parser("fsck", help="metadata consistency check over all retained snapshots")
+    fs.add_argument("--table", required=True)
+
     tg = sub.add_parser("tag", help="named snapshot refs: pin/list/delete (expiry-protected)")
     tg.add_argument("--table", required=True)
     tg.add_argument("--name", help="tag name (omit to list tags)")
@@ -451,6 +469,8 @@ def main(argv=None) -> int:
     ch.add_argument("--buckets", type=int, default=64)
     ch.add_argument("--from-version", type=int, default=None)
     ch.add_argument("--to-version", type=int, default=None)
+    ch.add_argument("--from-tag", default=None, help="resolve the low endpoint via a named ref")
+    ch.add_argument("--to-tag", default=None, help="resolve the high endpoint via a named ref")
     ch.add_argument("--out", default=None, help="optional parquet dir to write the feed")
 
     st = sub.add_parser(
@@ -478,6 +498,7 @@ def main(argv=None) -> int:
         "expire": cmd_expire,
         "export": cmd_export,
         "tag": cmd_tag,
+        "fsck": cmd_fsck,
         "refine-one": cmd_refine_one,
     }[args.cmd](args)
     print(json.dumps(out))

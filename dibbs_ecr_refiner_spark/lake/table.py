@@ -570,6 +570,8 @@ class LakeTable:
         from_version: int | None,
         to_version: int | None = None,
         skip_rewrites: bool = True,
+        from_tag: str | None = None,
+        to_tag: str | None = None,
     ) -> DataFrame:
         """Incremental scan (CDC-out, ≙ Iceberg incremental append scan):
         the rows of data files added between two snapshots, tombstones
@@ -583,7 +585,20 @@ class LakeTable:
         Maintenance rewrites (compaction fold, rebucket) are tagged in
         the manifest and skipped by default — same logical content, so a
         fold between polls yields an empty feed; pass
-        ``skip_rewrites=False`` to see physical file churn too."""
+        ``skip_rewrites=False`` to see physical file churn too.
+
+        ``from_tag``/``to_tag``: resolve endpoints through named refs —
+        "what changed between corpus-2026-07 and corpus-2026-08" without
+        anyone remembering snapshot ids; tags pin their manifests against
+        expiry, so a tag-to-tag diff can't hit an expired endpoint."""
+        if from_tag is not None:
+            if from_version is not None:
+                raise ValueError("pass from_version or from_tag, not both")
+            from_version = self.resolve_tag(from_tag)
+        if to_tag is not None:
+            if to_version is not None:
+                raise ValueError("pass to_version or to_tag, not both")
+            to_version = self.resolve_tag(to_tag)
         old = self.snapshot(from_version) if from_version else None
         new = self.snapshot(to_version)
         if new is None:

@@ -103,3 +103,47 @@ def test_cli_tag_and_reproducible_export(spark, tmp_path, capsys):
 
     assert run("tag", "--table", root, "--name", "gold", "--delete")["deleted"] is True
     assert run("tag", "--table", root)["tags"] == {}
+
+
+def test_read_changes_between_tags(spark, tmp_path):
+    """Tag-to-tag incremental diff: 'what changed between corpus versions'
+    without anyone remembering snapshot ids."""
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    table.merge(_delta(spark, [("c1", 0, "a", 1), ("c2", 0, "b", 2)]), "b0")
+    table.tag("july")
+    table.merge(_delta(spark, [("c3", 0, "c", 3)]), "b1", mode="mor")
+    table.tag("august")
+    got = {r["text"] for r in table.read_changes(None, from_tag="july", to_tag="august").collect()}
+    assert got == {"c"}
+    with pytest.raises(ValueError, match="not both"):
+        table.read_changes(1, from_tag="july")
+
+
+def test_fsck_clean_table_and_injected_corruption(spark, tmp_path):
+    from dibbs_ecr_refiner_spark.lake.maintenance import verify_table
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "a", 1), ("c2", 0, "b", 2)]), "b0")
+    table.merge(_delta(spark, [("c1", 0, "a2", 5)]), "b1", mode="mor")
+    res = verify_table(table)
+    assert res["ok"] and res["snapshots_checked"] == 2 and res["files_checked"] > 0
+
+    # injected corruption: delete one data file -> fsck flags it
+    victim = table.current_snapshot()["files"][0]["path"]
+    os.remove(os.path.join(str(tmp_path / "t"), victim))
+    bad = verify_table(table)
+    assert not bad["ok"]
+    assert any("missing data file" in i and victim in i for i in bad["issues"])
+
+
+def test_fsck_flags_missing_segment(spark, tmp_path):
+    from dibbs_ecr_refiner_spark.lake import manifests as mf
+    from dibbs_ecr_refiner_spark.lake.maintenance import verify_table
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    table.merge(_delta(spark, [("c1", 0, "a", 1)]), "b0")
+    seg = next(f for f in os.listdir(table._manifest_dir) if f.startswith("seg-"))
+    os.remove(os.path.join(table._manifest_dir, seg))
+    mf._SEG_CACHE.clear()
+    bad = verify_table(table)
+    assert not bad["ok"] and any("missing segment" in i for i in bad["issues"])
