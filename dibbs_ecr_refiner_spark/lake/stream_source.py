@@ -247,6 +247,35 @@ def _read_partition(part: LakeFilePartition) -> Iterator:
 # ---------------- readers ----------------
 
 
+def _resolve_tag(root: str, name: str) -> int:
+    """Named-ref lookup (LakeTable.tag) without a LakeTable/SparkSession:
+    tags pin their snapshots against expiry, so a tag-anchored stream or
+    scan can never start from an expired version."""
+    import json as _json
+
+    p = os.path.join(root, "_manifests", "_refs.json")
+    try:
+        with open(p) as f:
+            tags = _json.load(f).get("tags", {})
+    except (OSError, _json.JSONDecodeError):
+        tags = {}
+    if name not in tags:
+        raise ValueError(f"unknown tag {name!r} on table {root}")
+    return int(tags[name]["version"])
+
+
+def _version_opt(options, root: str, version_key: str, tag_key: str) -> int:
+    """A snapshot endpoint given either as a version number or a tag name
+    (mutually exclusive; 0 = unset)."""
+    v = int(options.get(version_key, 0) or 0)
+    tag = options.get(tag_key)
+    if tag:
+        if v:
+            raise ValueError(f"pass {version_key} or {tag_key}, not both")
+        return _resolve_tag(root, tag)
+    return v
+
+
 def _skip_rewrites(options) -> bool:
     return str(options.get("skiprewrites", "true")).lower() != "false"
 
@@ -261,7 +290,7 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         self.skip_rewrites = _skip_rewrites(options)
         self.split_bytes = _split_bytes(options)
         self.max_versions = int(options.get("maxversionsperbatch", 0) or 0)
-        self.starting = int(options.get("startingversion", 0) or 0)
+        self.starting = _version_opt(options, self.root, "startingversion", "startingtag")
         self._last: int | None = None
         # pin the query's column set NOW (the declared schema is immutable
         # for the life of the query); an empty table pins lazily at the
@@ -308,8 +337,10 @@ class LakeCdcBatchReader(DataSourceReader):
 
     def __init__(self, options):
         self.root = options["path"]
-        self.frm = int(options.get("fromversion", 0) or 0)
-        self.to = int(options.get("toversion", 0) or 0) or _current_version(self.root)
+        self.frm = _version_opt(options, self.root, "fromversion", "fromtag")
+        self.to = _version_opt(options, self.root, "toversion", "totag") or _current_version(
+            self.root
+        )
         self.skip_rewrites = _skip_rewrites(options)
         self.split_bytes = _split_bytes(options)
 
@@ -329,7 +360,7 @@ class LakeCdcDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         root = self.options["path"]
-        v = int(self.options.get("toversion", 0) or 0) or _current_version(root)
+        v = _version_opt(self.options, root, "toversion", "totag") or _current_version(root)
         if v == 0:
             raise ValueError(
                 f"lake table at {root!r} has no published snapshot yet — "
@@ -338,8 +369,11 @@ class LakeCdcDataSource(DataSource):
             )
         # pin the endpoint the schema came from, so a commit racing between
         # schema inference and reader planning can't shift the batch scan
-        # onto a newer (possibly evolved) snapshot than the one inferred
+        # onto a newer (possibly evolved) snapshot than the one inferred.
+        # A toTag endpoint is normalized to its resolved version here, so
+        # the reader sees exactly one spelling of the pin.
         self.options["toversion"] = str(v)
+        self.options.pop("totag", None)
         return T.StructType.fromJson(_snapshot(root, v)["schema"])
 
     def streamReader(self, schema) -> LakeCdcStreamReader:

@@ -443,3 +443,41 @@ def test_empty_table_schema_inference_raises(spark, tmp_path):
     LakeTable(spark, root, num_buckets=2)
     with pytest.raises(Exception, match="no published snapshot"):
         spark.read.format("lake_cdc").option("path", root).load().collect()
+
+
+def test_tag_anchored_batch_scan_and_stream_start(spark, tmp_path):
+    """fromTag/toTag on the batch face and startingTag on the stream:
+    endpoints by name, pinned against expiry by the tags themselves."""
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=2)
+    table.merge(_delta(spark, [("c1", 0, "a", 1, False)]), "b0")
+    table.tag("july")
+    table.merge(_delta(spark, [("c2", 0, "b", 2, False)]), "b1", mode="mor")
+    table.tag("august")
+    table.merge(_delta(spark, [("c3", 0, "c", 3, False)]), "b2", mode="mor")
+
+    register(spark)
+    got = (
+        spark.read.format("lake_cdc")
+        .option("path", root)
+        .option("fromTag", "july")
+        .option("toTag", "august")
+        .load()
+        .collect()
+    )
+    assert _key_set(got) == {("c2", 0, 2)}
+
+    # streaming from a tag: only commits after it are delivered
+    sink = Sink()
+    q = _stream(spark, root, str(tmp_path / "cp"), sink, startingTag="august")
+    try:
+        q.processAllAvailable()
+        assert _key_set(sink.rows) == {("c3", 0, 3)}
+    finally:
+        q.stop()
+
+    # version + tag together is an error
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("lake_cdc").option("path", root).option("fromVersion", "1").option(
+            "fromTag", "july"
+        ).load().collect()
