@@ -97,26 +97,41 @@ def _snapshot(root: str, v: int) -> dict:
     return manifests.load_snapshot(os.path.join(root, "_manifests"), v)
 
 
-def _span_files(root: str, frm: int, to: int, skip_rewrites: bool) -> tuple[list[dict], dict, dict]:
+def _span_files(
+    root: str, frm: int, to: int, skip_rewrites: bool
+) -> tuple[list[dict], dict, dict, bool]:
     """Data files added in ``(frm, to]`` + the end snapshot + the era map
     merged across every manifest the walk visited — the same walk as
     ``LakeTable.read_changes`` (see there for the superseded-delta and
     expired-manifest rationale), on raw manifests so the streaming driver
     never needs a LakeTable or SparkSession. The merged era map matters
     for superseded delta files: a fold inside the span can prune their
-    era from the END manifest while the walk still delivers the file."""
+    era from the END manifest while the walk still delivers the file.
+
+    The 4th element is ``buckets_constant``: True only when every file
+    in the result is PROVEN to use the end snapshot's bucket numbering
+    (whole-table scan, or a walked span whose every manifest carries the
+    same ``num_buckets``). Bucket-hash pruning is only sound then — a
+    rebucket inside the span leaves span files numbered under the old
+    count."""
     new = _snapshot(root, to)
     eras = {str(k): v for k, v in new.get("schemas", {}).items()}
     if frm <= 0:
-        return list(new["files"]), new, eras
-    old_paths = {f["path"] for f in _snapshot(root, frm)["files"]}
+        return list(new["files"]), new, eras, True
+    old = _snapshot(root, frm)
+    old_paths = {f["path"] for f in old["files"]}
     added = [f for f in new["files"] if f["path"] not in old_paths]
+    # endpoint diff: every kept file belongs to the END snapshot, so its
+    # numbering is the end snapshot's even if a rebucket sat in the span
+    buckets_constant = True
     if skip_rewrites:
         try:
             span: dict[str, dict] = {}
             prev = set(old_paths)
             for v in range(frm + 1, to + 1):
                 s = _snapshot(root, v)
+                if s.get("num_buckets") != new.get("num_buckets"):
+                    buckets_constant = False
                 for sv, c in s.get("schemas", {}).items():
                     eras.setdefault(str(sv), c)
                 for f in s["files"]:
@@ -125,8 +140,10 @@ def _span_files(root: str, frm: int, to: int, skip_rewrites: bool) -> tuple[list
                 prev = {f["path"] for f in s["files"]}
             added = list(span.values())
         except FileNotFoundError:
-            pass
-    return added, new, eras
+            # fell back to the endpoint diff: those files are all the end
+            # snapshot's, so its numbering applies
+            buckets_constant = True
+    return added, new, eras, buckets_constant
 
 
 class LakeFilePartition(InputPartition):
@@ -167,6 +184,7 @@ def _plan_partitions(
     skip_rewrites: bool,
     split_bytes: int = DEFAULT_SPLIT_BYTES,
     pin_cols: list[dict] | None = None,
+    keep_file=None,
 ) -> list[LakeFilePartition]:
     """``pin_cols`` projects the span onto a FIXED column set (by field
     id) instead of the end snapshot's: a streaming query's schema is
@@ -175,7 +193,12 @@ def _plan_partitions(
     query started with — ids stay stable across renames, a dropped id
     NULL-fills, and a column added after the pin is invisible until the
     stream restarts (≙ Iceberg's schema-pinned incremental scan)."""
-    files, snap, schemas = _span_files(root, frm, to, skip_rewrites)
+    files, snap, schemas, buckets_constant = _span_files(root, frm, to, skip_rewrites)
+    if keep_file is not None:
+        # pushdown pruning: drop files that provably contain no qualifying
+        # rows (bucket hash / manifest stats). Conservative — Spark still
+        # re-evaluates every filter post-scan.
+        files = [f for f in files if keep_file(f, snap, buckets_constant)]
     cols = pin_cols if pin_cols is not None else _snapshot_cols(snap)
     cur_sv = str(snap.get("schema_version", 0))
     schemas.setdefault(cur_sv, _snapshot_cols(snap))
@@ -343,11 +366,59 @@ class LakeCdcBatchReader(DataSourceReader):
         )
         self.skip_rewrites = _skip_rewrites(options)
         self.split_bytes = _split_bytes(options)
+        self._conv_eq: str | None = None
+        self._ts_lo = None  # inclusive lower bound (epoch-µs)
+
+    def pushFilters(self, filters):
+        """Partition-pruning pushdown (Spark 4.1 Python Data Source API):
+        ``conv_id = v`` prunes to the key's bucket (driver-side xxhash —
+        write/read hash parity is pinned by test) plus any file whose
+        stamped conv_id [min,max] excludes v; ``ts >=/> T`` prunes files
+        whose stamped ts-max is below the bound. Pruning is CONSERVATIVE
+        (a dropped file provably holds no qualifying rows — un-stamped
+        files are always scanned) and every filter is RETURNED so Spark
+        re-evaluates it post-scan: the pushdown saves IO, never owns
+        correctness. This is safe precisely because this source emits the
+        RAW change feed with no LWW resolve — a row's qualification
+        depends on nothing outside its own file."""
+        from .stats import _ts_us
+
+        for f in filters:
+            cls = type(f).__name__
+            col = getattr(f, "attribute", None)
+            if cls == "EqualTo" and col == ("conv_id",) and isinstance(f.value, str):
+                self._conv_eq = f.value
+            elif cls in ("GreaterThanOrEqual", "GreaterThan") and col == ("ts",):
+                try:
+                    self._ts_lo = _ts_us(f.value)
+                except (TypeError, ValueError, AttributeError):
+                    pass
+        return filters  # Spark re-applies everything
+
+    def _keep_file(self, f: dict, snap: dict, buckets_constant: bool) -> bool:
+        from .stats import _stats_keep
+
+        if self._conv_eq is not None:
+            from .table import xxhash64
+
+            nb = int(snap.get("num_buckets", 0))
+            h = xxhash64(self._conv_eq.encode("utf-8"))
+            signed = h - (1 << 64) if h >= (1 << 63) else h  # == LakeTable.bucket_of
+            if buckets_constant and nb and int(f["bucket"]) != signed % nb:
+                return False
+            if not _stats_keep(f, "conv_id", self._conv_eq, self._conv_eq):
+                return False
+        if self._ts_lo is not None and not _stats_keep(f, "ts", lo=self._ts_lo):
+            return False
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
         if self.to <= self.frm:
             return [LakeFilePartition(None, (), [])]
-        return _plan_partitions(self.root, self.frm, self.to, self.skip_rewrites, self.split_bytes)
+        keep = self._keep_file if (self._conv_eq is not None or self._ts_lo is not None) else None
+        return _plan_partitions(
+            self.root, self.frm, self.to, self.skip_rewrites, self.split_bytes, keep_file=keep
+        )
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         return _read_partition(partition)

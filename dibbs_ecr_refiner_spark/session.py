@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the lake_cdc batch source prunes partitions from pushed filters
+        # (conv_id bucket hash + manifest stats) — opt in to the Python
+        # Data Source pushdown protocol (off by default in Spark 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # 16g measured 4-7× faster than 48g on the replay workload: an
         # over-sized heap gives G1 a huge young gen whose evacuation pauses
         # and cache-hostile copying dominate; this workload streams data

@@ -481,3 +481,68 @@ def test_tag_anchored_batch_scan_and_stream_start(spark, tmp_path):
         spark.read.format("lake_cdc").option("path", root).option("fromVersion", "1").option(
             "fromTag", "july"
         ).load().collect()
+
+
+def test_batch_face_filter_pushdown_prunes_partitions(spark, tmp_path):
+    """conv_id = v prunes the scan to the key's bucket (and, after a
+    compaction stamps stats, to the files whose range can hold it);
+    ts >= T prunes cold stamped files. Results must equal the unpruned
+    scan filtered by Spark — pushdown saves IO, never owns correctness."""
+    from pyspark.sql import functions as F
+
+    from dibbs_ecr_refiner_spark.lake.stream_source import LakeCdcBatchReader
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=8)
+    rows = [(f"c{i}", 0, f"t{i}", i + 1, False) for i in range(40)]
+    table.merge(_delta(spark, rows), "b0")
+    maintenance.compact(table)  # stamps per-file conv_id/ts stats
+
+    register(spark)
+    base = spark.read.format("lake_cdc").option("path", root).load()
+    got = base.filter(F.col("conv_id") == "c7").collect()
+    assert _key_set(got) == {("c7", 0, 8)}
+
+    # reader-level proof of pruning: pushFilters -> fewer partitions
+    from pyspark.sql.datasource import EqualTo
+
+    r_all = LakeCdcBatchReader({"path": root})
+    n_all = len(r_all.partitions())
+    r_pruned = LakeCdcBatchReader({"path": root})
+    returned = list(r_pruned.pushFilters([EqualTo(("conv_id",), "c7")]))
+    assert len(returned) == 1, "every filter must be returned for Spark to re-apply"
+    n_pruned = len(r_pruned.partitions())
+    assert n_pruned < n_all, (n_pruned, n_all)
+    # the pruned partitions still contain the qualifying row
+    texts = set()
+    for p in r_pruned.partitions():
+        for batch in r_pruned.read(p):
+            texts.update(batch.column("conv_id").to_pylist() if batch.num_rows else [])
+    assert "c7" in texts
+
+
+def test_bucket_pruning_disabled_across_a_rebucket_span(spark, tmp_path):
+    """A rebucket inside the incremental span leaves files numbered under
+    the OLD bucket count — bucket-hash pruning must switch itself off
+    (stats pruning stays) rather than drop a file that holds the key."""
+    from pyspark.sql.datasource import EqualTo
+
+    from dibbs_ecr_refiner_spark.lake.stream_source import LakeCdcBatchReader
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=2)
+    table.merge(_delta(spark, [(f"c{i}", 0, "x", i + 1, False) for i in range(10)]), "b0")
+    v1 = table._current_version()
+    table.merge(_delta(spark, [("k1", 0, "pre", 100, False)]), "b1", mode="mor")
+    maintenance.rebucket(table, 8)
+    table.merge(_delta(spark, [("k2", 0, "post", 200, False)]), "b2", mode="mor")
+
+    for key, lsn in (("k1", 100), ("k2", 200)):
+        r = LakeCdcBatchReader({"path": root, "fromversion": str(v1)})
+        r.pushFilters([EqualTo(("conv_id",), key)])
+        found = set()
+        for p in r.partitions():
+            for batch in r.read(p):
+                if batch.num_rows:
+                    found.update(batch.column("conv_id").to_pylist())
+        assert key in found, f"pruning dropped {key}'s file across the rebucket span"
