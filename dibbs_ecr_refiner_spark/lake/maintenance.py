@@ -384,6 +384,9 @@ def verify_table(table: LakeTable) -> dict:
     cur = table._current_version()
     if cur is not None and cur not in raws:
         issues.append(f"_current points at missing v{cur}")
+    for name, t in table.tags().items():
+        if int(t["version"]) not in raws:
+            issues.append(f"tag {name!r} pins missing v{t['version']}")
 
     return {
         "ok": not issues,

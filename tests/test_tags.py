@@ -147,3 +147,16 @@ def test_fsck_flags_missing_segment(spark, tmp_path):
     mf._SEG_CACHE.clear()
     bad = verify_table(table)
     assert not bad["ok"] and any("missing segment" in i for i in bad["issues"])
+
+
+def test_fsck_flags_tag_pinning_missing_snapshot(spark, tmp_path):
+    from dibbs_ecr_refiner_spark.lake.maintenance import verify_table
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    table.merge(_delta(spark, [("c1", 0, "a", 1)]), "b0")
+    table.merge(_delta(spark, [("c1", 0, "b", 2)]), "b1")
+    table.tag("gold", version=1)
+    assert verify_table(table)["ok"]
+    os.remove(os.path.join(table._manifest_dir, "v00000001.json"))
+    bad = verify_table(table)
+    assert any("tag 'gold' pins missing v1" in i for i in bad["issues"])
