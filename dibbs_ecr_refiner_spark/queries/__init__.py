@@ -26,6 +26,7 @@ _MODULES = (temporal, relational, cdcq, text, vectors, multimodal, sampling)
 _CHECK_FIRST = [
     # never driver-checked (green in local tools/check_contract.py runs)
     "split_assign",
+    "split_stratified",
     "pack_sequences",
     "domain_mix_sample",
     "cdc_source_span",

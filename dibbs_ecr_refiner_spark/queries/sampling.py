@@ -21,7 +21,7 @@ shard = hash(doc) % K for K ≈ cluster cores.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES = {}
@@ -206,3 +206,52 @@ def domain_mix_sample(spark, sf):
         )
         .orderBy("doc_id", "copy_idx")
     )
+
+
+# ------------------------------------------- exact stratified split
+
+_UST = _hex_u16("concat(cast(doc_id as string), ':strat:42')")
+
+
+@q(
+    "split_stratified",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY {_UST}, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                WHEN rn * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def split_stratified(spark, sf):
+    """EXACT stratified 80/10/10 split: within each source, docs are
+    ranked by the deterministic md5 variate (a reproducible shuffle) and
+    the split boundaries are drawn at exact per-stratum fractions — so a
+    30-doc source contributes exactly 24/3/3, where hash-threshold
+    splitting (``split_assign``) only hits the proportions in
+    expectation and can starve a small domain of eval data entirely.
+    Ties on the 16-bit variate break by doc_id, keeping the rank — and
+    therefore the membership — fully deterministic. One shuffle on the
+    stratum key; the window is a plain rank, no UDF."""
+    w = Window.partitionBy("source").orderBy(F.expr(_UST), "doc_id")
+    r = _docs(spark, sf).select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")

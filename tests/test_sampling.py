@@ -77,3 +77,23 @@ def test_split_and_mix_stay_jvm_side(spark):
             assert marker not in p, (fn.__name__, marker)
     p = plan(pack_sequences(spark, SF))
     assert "FlatMapGroupsInPandas" in p  # the sharded greedy fold
+
+
+def test_split_stratified_exact_per_source_proportions(spark):
+    from dibbs_ecr_refiner_spark.queries.sampling import split_stratified
+
+    rows = split_stratified(spark, SF).collect()
+    per_src: dict[str, dict[str, int]] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], {}).setdefault(r["split"], 0)
+        per_src[r["source"]][r["split"]] += 1
+    for src, counts in per_src.items():
+        n = sum(counts.values())
+        # exact boundaries: train = floor-ish at rn*10 <= n*8
+        train = sum(1 for rn in range(1, n + 1) if rn * 10 <= n * 8)
+        val = sum(1 for rn in range(1, n + 1) if train * 10 < rn * 10 <= n * 9) or (
+            sum(1 for rn in range(1, n + 1) if rn * 10 <= n * 9) - train
+        )
+        assert counts.get("train", 0) == train, (src, counts)
+        assert counts.get("val", 0) == val, (src, counts)
+        assert counts.get("test", 0) == n - train - val, (src, counts)
