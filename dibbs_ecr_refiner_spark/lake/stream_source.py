@@ -356,7 +356,16 @@ class LakeCdcBatchReader(DataSourceReader):
     """Batch face of the same source: ``spark.read.format("lake_cdc")``
     with ``fromVersion`` / ``toVersion`` — an incremental scan between two
     retained snapshots (``fromVersion`` 0 = the whole table as of
-    ``toVersion``, i.e. time travel)."""
+    ``toVersion``, i.e. time travel).
+
+    Deliberately does NOT define ``pushFilters``: PySpark 4.1 hard-errors
+    (``DATA_SOURCE_PUSHDOWN_DISABLED``) when a reader merely *implements*
+    it while ``spark.sql.python.filterPushdown.enabled`` is false — the
+    Spark default — so a pushdown-capable reader would break every vanilla
+    session. Filter pruning lives on :class:`LakeCdcPushdownBatchReader`,
+    selected by the ``pushdown=true`` read option (set automatically by
+    :func:`scan` when the session conf allows it). A plain session just
+    scans unpruned — slower, never broken."""
 
     def __init__(self, options):
         self.root = options["path"]
@@ -369,7 +378,7 @@ class LakeCdcBatchReader(DataSourceReader):
         self._conv_eq: str | None = None
         self._ts_lo = None  # inclusive lower bound (epoch-µs)
 
-    def pushFilters(self, filters):
+    def _accept_filters(self, filters):
         """Partition-pruning pushdown (Spark 4.1 Python Data Source API):
         ``conv_id = v`` prunes to the key's bucket (driver-side xxhash —
         write/read hash parity is pinned by test) plus any file whose
@@ -424,6 +433,17 @@ class LakeCdcBatchReader(DataSourceReader):
         return _read_partition(partition)
 
 
+class LakeCdcPushdownBatchReader(LakeCdcBatchReader):
+    """The batch reader with filter pushdown. Split from the base class
+    because Spark's worker refuses ANY reader that defines ``pushFilters``
+    unless ``spark.sql.python.filterPushdown.enabled`` is on — this
+    subclass is only handed out when the ``pushdown=true`` read option
+    says the session opted in (see :meth:`LakeCdcDataSource.reader`)."""
+
+    def pushFilters(self, filters):
+        return self._accept_filters(filters)
+
+
 class LakeCdcDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -451,9 +471,57 @@ class LakeCdcDataSource(DataSource):
         return LakeCdcStreamReader(self.options)
 
     def reader(self, schema) -> LakeCdcBatchReader:
+        # reader() runs in a session-less Python worker, so the session
+        # conf is unreachable here — the `pushdown` READ OPTION is the
+        # only channel. Default false: a vanilla session must get a
+        # working (unpruned) scan, never DATA_SOURCE_PUSHDOWN_DISABLED.
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return LakeCdcPushdownBatchReader(self.options)
         return LakeCdcBatchReader(self.options)
 
 
+PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
+def _pushdown_on(spark) -> bool:
+    try:
+        return str(spark.conf.get(PUSHDOWN_CONF, "false")).lower() == "true"
+    except Exception:
+        return False
+
+
 def register(spark) -> None:
-    """Idempotently register the source on a session."""
-    spark.dataSource.register(LakeCdcDataSource)
+    """Idempotently register the source on a session, and best-effort
+    enable Spark's Python-data-source pushdown protocol (a plain runtime
+    SQL conf, default false in 4.1) so :func:`scan` can prune. A session
+    that rejects the conf still works — reads just stay unpruned."""
+    try:
+        spark.dataSource.register(LakeCdcDataSource)
+    except Exception as e:  # pragma: no cover - depends on session lineage
+        # the registry is shared across newSession() clones: a re-register
+        # from a sibling session raises ALREADY_EXISTS even though the
+        # source is perfectly usable there
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
+    if not _pushdown_on(spark):
+        try:
+            spark.conf.set(PUSHDOWN_CONF, "true")
+        except Exception:
+            pass  # read-only conf surface: degrade to unpruned scans
+
+
+def scan(spark, root: str, **options):
+    """Batch-read the ``lake_cdc`` source with filter pushdown enabled
+    whenever the session supports it — the one call site that bridges the
+    driver-side conf (visible here) to the worker-side reader choice (the
+    ``pushdown`` option). Keyword options pass through verbatim
+    (``fromVersion=…``, ``toVersion=…``, ``fromTag=…``, ``skipRewrites=…``);
+    pass ``pushdown=`` explicitly to override the conf-based default."""
+    register(spark)
+    r = spark.read.format(SOURCE_NAME).option("path", root)
+    keys = {k.lower() for k in options}
+    for k, v in options.items():
+        r = r.option(k, str(v))
+    if "pushdown" not in keys and _pushdown_on(spark):
+        r = r.option("pushdown", "true")
+    return r.load()

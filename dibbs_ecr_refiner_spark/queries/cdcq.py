@@ -333,7 +333,7 @@ def cdc_source_span(spark, sf):
     """
     import tempfile
 
-    from ..lake.stream_source import register
+    from ..lake.stream_source import scan
     from ..lake.table import LakeTable
 
     delta = _events(spark, sf).select(
@@ -350,13 +350,10 @@ def cdc_source_span(spark, sf):
     t = LakeTable(spark, f"{work}/lake", num_buckets=8)
     t.merge(delta.where(F.col("change_lsn") % 2 == 0), "b0")
     t.merge(delta.where(F.col("change_lsn") % 2 == 1), "b1", mode="mor")
-    register(spark)
-    span = (
-        spark.read.format("lake_cdc")
-        .option("path", f"{work}/lake")
-        .option("fromVersion", 1)
-        .load()
-    )
+    # scan() works on ANY session: it turns pushdown on only when the
+    # session conf allows it (register() best-effort enables the conf),
+    # and falls back to an unpruned scan on a locked-down vanilla session.
+    span = scan(spark, f"{work}/lake", fromVersion=1)
     return (
         span.groupBy("role")
         .agg(

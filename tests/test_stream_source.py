@@ -490,7 +490,11 @@ def test_batch_face_filter_pushdown_prunes_partitions(spark, tmp_path):
     scan filtered by Spark — pushdown saves IO, never owns correctness."""
     from pyspark.sql import functions as F
 
-    from dibbs_ecr_refiner_spark.lake.stream_source import LakeCdcBatchReader
+    from dibbs_ecr_refiner_spark.lake.stream_source import (
+        LakeCdcBatchReader,
+        LakeCdcPushdownBatchReader,
+        scan,
+    )
 
     root = str(tmp_path / "t")
     table = LakeTable(spark, root, num_buckets=8)
@@ -498,8 +502,8 @@ def test_batch_face_filter_pushdown_prunes_partitions(spark, tmp_path):
     table.merge(_delta(spark, rows), "b0")
     maintenance.compact(table)  # stamps per-file conv_id/ts stats
 
-    register(spark)
-    base = spark.read.format("lake_cdc").option("path", root).load()
+    # scan() on the engine session (conf on) takes the pushdown reader
+    base = scan(spark, root)
     got = base.filter(F.col("conv_id") == "c7").collect()
     assert _key_set(got) == {("c7", 0, 8)}
 
@@ -508,7 +512,7 @@ def test_batch_face_filter_pushdown_prunes_partitions(spark, tmp_path):
 
     r_all = LakeCdcBatchReader({"path": root})
     n_all = len(r_all.partitions())
-    r_pruned = LakeCdcBatchReader({"path": root})
+    r_pruned = LakeCdcPushdownBatchReader({"path": root})
     returned = list(r_pruned.pushFilters([EqualTo(("conv_id",), "c7")]))
     assert len(returned) == 1, "every filter must be returned for Spark to re-apply"
     n_pruned = len(r_pruned.partitions())
@@ -521,13 +525,63 @@ def test_batch_face_filter_pushdown_prunes_partitions(spark, tmp_path):
     assert "c7" in texts
 
 
+def test_batch_face_works_on_a_vanilla_session_without_pushdown_conf(spark, tmp_path):
+    """Regression (round-3 driver failure): a session WITHOUT
+    ``spark.sql.python.filterPushdown.enabled`` — the Spark default, and
+    what any notebook / spark-submit / external harness runs — must get a
+    working (unpruned) scan, not DATA_SOURCE_PUSHDOWN_DISABLED. The crash
+    fired because the reader merely *implemented* pushFilters; the plain
+    reader class defines none, so both a bare load and a filtered load
+    succeed with Spark applying the filters post-scan."""
+    from pyspark.sql import functions as F
+
+    from dibbs_ecr_refiner_spark.lake.stream_source import PUSHDOWN_CONF, scan
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=4)
+    table.merge(_delta(spark, [(f"c{i}", 0, f"t{i}", i + 1, False) for i in range(12)]), "b0")
+
+    register(spark)
+    # simulate the vanilla session by flipping the runtime conf to the
+    # Spark default on THIS session (the crash keyed on the conf at plan
+    # time, not on session identity; newSession() can't be used here —
+    # data-source registration is per-session but the exists-check is
+    # global, so a sibling session can neither register nor resolve)
+    spark.conf.set(PUSHDOWN_CONF, "false")
+    try:
+        base = spark.read.format("lake_cdc").option("path", root).load()
+        assert base.count() == 12
+        got = base.filter(F.col("conv_id") == "c7").collect()
+        assert _key_set(got) == {("c7", 0, 8)}
+
+        # scan() on the same session re-enables the conf (runtime-settable)
+        # and upgrades to the pushdown reader; same answer either way
+        got2 = scan(spark, root).filter(F.col("conv_id") == "c7").collect()
+        assert _key_set(got2) == {("c7", 0, 8)}
+        assert spark.conf.get(PUSHDOWN_CONF) == "true"
+    finally:
+        spark.conf.set(PUSHDOWN_CONF, "true")
+
+
+def test_scan_pushdown_false_option_forces_the_plain_reader(spark, tmp_path):
+    """Explicit ``pushdown=false`` wins over the session conf — the escape
+    hatch when a consumer wants the conf on for other sources but an
+    unpruned lake scan."""
+    from dibbs_ecr_refiner_spark.lake.stream_source import scan
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=4)
+    table.merge(_delta(spark, [("a", 0, "x", 1, False), ("b", 0, "y", 2, False)]), "b0")
+    assert scan(spark, root, pushdown=False).count() == 2
+
+
 def test_bucket_pruning_disabled_across_a_rebucket_span(spark, tmp_path):
     """A rebucket inside the incremental span leaves files numbered under
     the OLD bucket count — bucket-hash pruning must switch itself off
     (stats pruning stays) rather than drop a file that holds the key."""
     from pyspark.sql.datasource import EqualTo
 
-    from dibbs_ecr_refiner_spark.lake.stream_source import LakeCdcBatchReader
+    from dibbs_ecr_refiner_spark.lake.stream_source import LakeCdcPushdownBatchReader
 
     root = str(tmp_path / "t")
     table = LakeTable(spark, root, num_buckets=2)
@@ -538,7 +592,7 @@ def test_bucket_pruning_disabled_across_a_rebucket_span(spark, tmp_path):
     table.merge(_delta(spark, [("k2", 0, "post", 200, False)]), "b2", mode="mor")
 
     for key, lsn in (("k1", 100), ("k2", 200)):
-        r = LakeCdcBatchReader({"path": root, "fromversion": str(v1)})
+        r = LakeCdcPushdownBatchReader({"path": root, "fromversion": str(v1)})
         r.pushFilters([EqualTo(("conv_id",), key)])
         found = set()
         for p in r.partitions():
