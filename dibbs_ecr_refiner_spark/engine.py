@@ -111,7 +111,17 @@ class ReplayEngine:
         snap = self.table.current_snapshot()
         if not snap:
             return 0
-        return sum(max(0, r["rows_upserted"]) for r in snap["applied_batches"].values())
+        # maintenance rewrites (compact/fold/rebucket) register as applied
+        # batches whose rows_upserted is the ENTIRE rewritten bucket
+        # content — counting them would inflate the estimate by up to a
+        # table-size per maintenance pass and drift auto mode unboundedly
+        # MOR-biased. Skip anything flagged as a rewrite (and the legacy
+        # batch-id prefixes from manifests written before the flag).
+        return sum(
+            max(0, r["rows_upserted"])
+            for bid, r in snap["applied_batches"].items()
+            if not r.get("rewrite") and not bid.startswith(("compact-", "rebucket-"))
+        )
 
     def _resolve_mode(self, mode: str, batch_rows: int) -> str:
         if mode != "auto":
@@ -207,6 +217,7 @@ class ReplayEngine:
         batch_col: str = "ingest_file",
         mode: str = "auto",
         fold_every: int | None = None,
+        final_fold: str = "all",
     ) -> ReplayStats:
         """Replay every batch in batch-id order (≙ LSN-range order). Batches
         already recorded in the manifest are skipped — resuming after a
@@ -220,8 +231,21 @@ class ReplayEngine:
         ``mode="auto"`` (default) resolves per batch: COW while the batch
         is large relative to the table (bulk backfill), MOR once the table
         dwarfs the batch (steady-state ingest, where COW's measured write
-        amplification is 14-18×) — with a default fold cadence of every 8
-        MOR batches so read amplification stays bounded.
+        amplification is 14-18×). Mid-replay folding is DEMAND-driven:
+        after each MOR batch (checked every ``fold_every`` of them, default
+        8) only the buckets whose pending delta count exceeds the
+        ``should_fold`` threshold are compacted — read amplification stays
+        bounded without the old fold-everything sweep, whose cost at
+        steady state approached a table rewrite per cadence.
+
+        ``final_fold`` controls what a completed auto replay leaves behind:
+        ``"all"`` (default) folds every pending delta bucket so plain
+        ``table.read()`` equals the batch oracle, displays included — the
+        converged-completion guarantee; ``"threshold"`` folds only
+        over-threshold buckets (continuous-pipeline mode: the replay call
+        boundary is arbitrary, reads go through ``read_refined()`` which
+        converges displays at read time, and core columns are oracle-equal
+        from the read-time LWW either way); ``"none"`` skips it.
 
         Scale note: each batch filters ``changes`` on ``batch_col``. When
         the input is parquet partitioned by that column (use
@@ -272,14 +296,29 @@ class ReplayEngine:
                 if batch_mode == "mor":
                     mor_batches += 1
                 stats.lineage.append(res)
-                if fold_every and mor_batches and mor_batches % fold_every == 0:
-                    self.fold_deltas()
-        if mode == "auto" and stats.batches:
-            # finish converged: fold any pending deltas (only their buckets)
-            # so a completed auto replay gives the COW guarantee — plain
-            # table.read() equals the batch oracle, displays included —
-            # while the per-batch writes kept MOR's O(batch) cost.
-            pending = self._pending_delta_buckets()
+                # demand-driven periodic fold: only when THIS batch was MOR
+                # (a non-MOR batch can't have advanced the counter — the old
+                # `mor_batches % k` check re-fired on every later COW batch
+                # while the count sat on a multiple) and only the buckets
+                # whose delta pile-up actually exceeds the threshold
+                if fold_every and batch_mode == "mor" and mor_batches % fold_every == 0:
+                    from .lake.maintenance import should_fold
+
+                    over = should_fold(self.table)
+                    if over:
+                        self.fold_deltas(buckets=over)
+        if mode == "auto" and stats.batches and final_fold != "none":
+            if final_fold == "threshold":
+                from .lake.maintenance import should_fold
+
+                pending = should_fold(self.table)
+            else:
+                # finish converged: fold any pending deltas (only their
+                # buckets) so a completed auto replay gives the COW
+                # guarantee — plain table.read() equals the batch oracle,
+                # displays included — while the per-batch writes kept MOR's
+                # O(batch) cost.
+                pending = self._pending_delta_buckets()
             if pending:
                 self.fold_deltas(buckets=pending)
         stats.seconds = time.time() - t0
@@ -291,12 +330,15 @@ class ReplayEngine:
         batch_col: str = "ingest_file",
         mode: str = "auto",
         fold_every: int | None = None,
+        final_fold: str = "all",
     ) -> ReplayStats:
         """Replay a change log laid out as parquet partitioned by batch —
         partition pruning makes each per-batch read touch only its own
         files (the 'tail above the high-watermark' pattern, SURVEY §2.1 S1)."""
         changes = self.spark.read.parquet(path)
-        return self.replay(changes, batch_col=batch_col, mode=mode, fold_every=fold_every)
+        return self.replay(
+            changes, batch_col=batch_col, mode=mode, fold_every=fold_every, final_fold=final_fold
+        )
 
 
 def batch_oracle(changes: DataFrame, plan: RefinePlan) -> DataFrame:

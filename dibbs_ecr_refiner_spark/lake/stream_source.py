@@ -273,12 +273,20 @@ def _read_partition(part: LakeFilePartition) -> Iterator:
 def _resolve_tag(root: str, name: str) -> int:
     """Named-ref lookup (LakeTable.tag) without a LakeTable/SparkSession:
     tags pin their snapshots against expiry, so a tag-anchored stream or
-    scan can never start from an expired version."""
+    scan can never start from an expired version. Reads the per-tag file
+    layout (``_refs/<name>.json``) first, then the legacy single-file
+    ``_refs.json`` a pre-round-4 table may still carry."""
     import json as _json
 
-    p = os.path.join(root, "_manifests", "_refs.json")
+    p = os.path.join(root, "_manifests", "_refs", f"{name}.json")
     try:
         with open(p) as f:
+            return int(_json.load(f)["version"])
+    except (OSError, _json.JSONDecodeError, KeyError, TypeError, ValueError):
+        pass
+    legacy = os.path.join(root, "_manifests", "_refs.json")
+    try:
+        with open(legacy) as f:
             tags = _json.load(f).get("tags", {})
     except (OSError, _json.JSONDecodeError):
         tags = {}

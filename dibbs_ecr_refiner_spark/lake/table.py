@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -359,40 +360,106 @@ class LakeTable:
     # read exactly tag `corpus-2026-08`" — so a tagged snapshot is
     # excluded from expire_snapshots' horizon and its data files stay
     # GC-protected (gc honors every retained manifest) until the tag is
-    # deleted. Refs live in ONE small JSON file: O(refs), not O(history),
-    # swapped atomically; tags are immutable (create/delete, no repoint)
-    # so concurrent taggers can only collide on a NAME, never move each
-    # other's pins.
+    # deleted. Each tag is its OWN file under ``_manifests/_refs/``,
+    # created atomically (full-content temp file hard-linked into place,
+    # which fails if the name exists): two concurrent taggers with
+    # different names each land their file — nobody's pin is lost to a
+    # read-modify-write of a shared refs blob — and same-name taggers
+    # race to exactly one winner. A pre-round-4 single-file ``_refs.json``
+    # is read transparently and burst into per-tag files on first write.
+
+    _TAG_NAME = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
 
     @property
     def _refs_path(self) -> str:
         return os.path.join(self._manifest_dir, "_refs.json")
 
-    def tags(self) -> dict[str, dict]:
+    @property
+    def _refs_dir(self) -> str:
+        return os.path.join(self._manifest_dir, "_refs")
+
+    def _legacy_tags(self) -> dict[str, dict]:
         if not os.path.exists(self._refs_path):
             return {}
         with open(self._refs_path) as f:
             return json.load(f).get("tags", {})
 
+    def tags(self) -> dict[str, dict]:
+        tags = self._legacy_tags()
+        try:
+            entries = os.listdir(self._refs_dir)
+        except FileNotFoundError:
+            entries = []
+        for fn in entries:
+            if fn.endswith(".json") and not fn.startswith("."):
+                try:
+                    with open(os.path.join(self._refs_dir, fn)) as f:
+                        tags[fn[:-5]] = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue  # racing delete / half-linked temp
+        return tags
+
+    def _write_tag_file(self, name: str, meta: dict) -> None:
+        """Atomic create-if-absent: the temp file carries the FULL content
+        before the hard link publishes the name, so a reader can never see
+        a partial tag; ``os.link`` raises FileExistsError on a name race."""
+        os.makedirs(self._refs_dir, exist_ok=True)
+        final = os.path.join(self._refs_dir, f"{name}.json")
+        tmp = os.path.join(self._refs_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        try:
+            os.link(tmp, final)
+        finally:
+            os.remove(tmp)
+
+    def _migrate_refs(self) -> None:
+        """Burst a legacy single-file ``_refs.json`` into per-tag files.
+        Safe under concurrency: per-tag creation is create-if-absent, and
+        a second migrator's ``remove`` simply finds the file gone."""
+        legacy = self._legacy_tags()
+        if not legacy:
+            return
+        for name, meta in legacy.items():
+            try:
+                self._write_tag_file(name, meta)
+            except FileExistsError:
+                pass
+        try:
+            os.remove(self._refs_path)
+        except FileNotFoundError:
+            pass
+
     def tag(self, name: str, version: int | None = None, note: str | None = None) -> dict:
         """Pin ``name`` to a retained snapshot (default: current)."""
+        if not self._TAG_NAME.fullmatch(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: use letters, digits, '.', '_', '-' "
+                "(must not start with '.')"
+            )
         v = int(version) if version is not None else self._current_version()
         if v is None:
             raise ValueError("table has no snapshot to tag")
         self.snapshot(v)  # raises FileNotFoundError for an expired/unknown version
-        tags = self.tags()
-        if name in tags:
-            raise ValueError(f"tag {name!r} already pins v{tags[name]['version']}")
-        tags[name] = {"version": v, "created_at": time.time(), **({"note": note} if note else {})}
-        self._write_refs(tags)
+        self._migrate_refs()
+        meta = {"version": v, "created_at": time.time(), **({"note": note} if note else {})}
+        try:
+            self._write_tag_file(name, meta)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already pins v{self.tags()[name]['version']}"
+            ) from None
         return {"tag": name, "version": v}
 
     def delete_tag(self, name: str) -> dict:
-        tags = self.tags()
-        if name not in tags:
-            raise ValueError(f"unknown tag {name!r}")
-        gone = tags.pop(name)
-        self._write_refs(tags)
+        self._migrate_refs()
+        path = os.path.join(self._refs_dir, f"{name}.json")
+        try:
+            with open(path) as f:
+                gone = json.load(f)
+            os.remove(path)
+        except FileNotFoundError:
+            raise ValueError(f"unknown tag {name!r}") from None
         return {"tag": name, "version": gone["version"], "deleted": True}
 
     def resolve_tag(self, name: str) -> int:
@@ -400,12 +467,6 @@ class LakeTable:
         if name not in tags:
             raise ValueError(f"unknown tag {name!r}")
         return int(tags[name]["version"])
-
-    def _write_refs(self, tags: dict) -> None:
-        tmp = self._refs_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"tags": tags}, f, indent=1, sort_keys=True)
-        os.rename(tmp, self._refs_path)
 
     # ---------------- field-id plumbing ----------------
 
@@ -1102,6 +1163,8 @@ class LakeTable:
             "rows_deleted": int(n_del),
             "files_written": len(new_files),
             "buckets_touched": len(touched),
+            # rewrites re-count existing rows; live-row estimators skip them
+            **({"rewrite": True} if replace_buckets else {}),
         }
 
         files_out = carried + new_files

@@ -16,42 +16,43 @@ from . import cdcq, multimodal, relational, sampling, temporal, text, vectors
 _MODULES = (temporal, relational, cdcq, text, vectors, multimodal, sampling)
 
 # The driver's correctness sweep checks at most ~50 queries per round, in
-# registry order; the registry holds 71. Rotation policy: least-recently
+# registry order; the registry holds 76. Rotation policy: least-recently
 # driver-checked first, so every query gets a driver CORRECTNESS row at
-# least every other round. Round-3 front of the line = the 7 queries that
-# have NEVER had a driver row (added after the r02 sweep), then the 14 that
-# were last checked in r01 (r02's 50-row window cut them), then everything
-# r02 already re-verified. Update this list each round from the latest
-# CORRECTNESS_r{N}.json.
+# least every other round. Round-4 front of the line = cdc_source_span
+# (r03's one red row — the vanilla-session pushdown crash is fixed, the
+# driver must re-verify it), then the 26 queries r03's 50-row window cut
+# (all green in r02 + local re-runs, but unchecked for one round).
+# Update this list each round from the latest CORRECTNESS_r{N}.json.
 _CHECK_FIRST = [
-    # never driver-checked (green in local tools/check_contract.py runs)
-    "split_assign",
-    "split_stratified",
-    "pack_sequences",
-    "domain_mix_sample",
+    # red in r03 (fixed this round — vanilla-session pushdown gate)
     "cdc_source_span",
-    "ann_topk",
-    "ann_ivf_topk",
-    "dedup_simhash_pairs",
-    "mm_resize_meta",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    "pii_scrub",
-    # last checked r01 (r02 window cut them)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_simhash",
-    "dedup_clusters",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "embed_cosine_topk",
-    "embed_near_dup",
-    "ann_lsh_bucket",
-    "mm_decode_stub",
+    # not sampled by r03's window (last driver-checked r02)
+    "manifest_diff",
+    "rollup_lineage",
+    "ndv_exact",
+    "ndv_approx",
+    "top1_per_group",
+    "union_dedup",
+    "explode_distinct",
+    "deterministic_id",
+    "ts_format",
+    "map_lookup",
+    "json_extract",
+    "pivot_status",
+    "q5_supplier_volume",
+    "q18_large_orders",
+    "lww_rank",
+    "lww_agg",
+    "dedup_deliveries",
+    "high_watermark",
+    "ordered_turns",
+    "frame_context",
+    "rule_precedence",
+    "sessionize",
+    "percentiles",
+    "config_events",
+    "session_window_agg",
+    "repetition_score",
 ]
 
 

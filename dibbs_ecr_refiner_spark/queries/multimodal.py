@@ -53,22 +53,31 @@ def decode_ppm(payload: bytes) -> dict | None:
     data even in this container."""
     if not payload.startswith(b"P6"):
         return None
-    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
-    fields, i = [], 2
-    while len(fields) < 3 and i < len(payload):
-        while i < len(payload) and payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":  # comment line
-            while i < len(payload) and payload[i] != 0x0A:
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster.
+    # A payload that merely STARTS with the magic can still be truncated
+    # or garbage — any malformed header returns None so decode_basic falls
+    # through to the next codec / the stub instead of crashing the whole
+    # mapInPandas decode job on one bad row.
+    try:
+        fields, i = [], 2
+        while len(fields) < 3 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
                 i += 1
-            continue
-        j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
-            j += 1
-        fields.append(int(payload[i:j]))
-        i = j
-    i += 1  # the single whitespace after maxval
-    w, h, maxval = fields
+            if payload[i : i + 1] == b"#":  # comment line
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if w <= 0 or h <= 0 or maxval <= 0:
+            return None
+    except (ValueError, IndexError):
+        return None
     raster = payload[i : i + 3 * w * h]
     n_px = max(1, len(raster) // 3)
     sums = [0, 0, 0]
@@ -89,6 +98,9 @@ def decode_wav(payload: bytes) -> dict | None:
     slots), features = [channels, sample_rate/1000, bits, data_seconds]."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
+    # malformed/truncated chunks degrade to zeros (slicing past the end
+    # yields b"" and int.from_bytes(b"") == 0) — never a crash; a zero
+    # rate/bits just produces the max(1, …) fallbacks below
     i = 12
     channels = rate = bits = data_len = 0
     while i + 8 <= len(payload):

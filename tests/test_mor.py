@@ -606,3 +606,46 @@ def test_gc_preserves_time_travel_until_expiry(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         table.read(version=1)
+
+
+def test_live_rows_estimate_ignores_maintenance_rewrites(spark, tmp_path, changes):
+    """compact/fold/rebucket register applied batches whose rows_upserted
+    is the full rewritten bucket content — the auto-mode size estimate
+    must not count them, or every maintenance pass inflates it by up to a
+    table size and the COW-vs-MOR threshold drifts MOR-biased forever."""
+    from dibbs_ecr_refiner_spark.lake import maintenance
+
+    table, eng = _fresh(spark, tmp_path)
+    eng.replay(changes, mode="mor")
+    before = eng._live_rows_estimate()
+    assert before > 0
+    maintenance.compact(table)
+    assert eng._live_rows_estimate() == before
+    maintenance.rebucket(table, 16)
+    assert eng._live_rows_estimate() == before
+    # sanity: the estimate would have at least doubled if rewrites counted
+    snap = table.current_snapshot()
+    rewritten = sum(
+        max(0, r["rows_upserted"])
+        for bid, r in snap["applied_batches"].items()
+        if r.get("rewrite")
+    )
+    assert rewritten > 0
+
+
+def test_auto_replay_final_fold_threshold_keeps_refined_read_converged(
+    spark, tmp_path, changes
+):
+    """Continuous-pipeline mode: final_fold="threshold" skips the
+    end-of-replay sweep (under-threshold delta buckets stay pending), but
+    read_refined() still equals the batch oracle — LWW resolves at read,
+    display enrichment recomputes at read — and core columns are
+    oracle-equal from plain read() too."""
+    table, eng = _fresh(spark, tmp_path)
+    stats = eng.replay(changes, final_fold="threshold")
+    assert stats.batches == PARAMS.n_batches
+    assert any(
+        f.get("kind", "base") == "delta" for f in table.current_snapshot()["files"]
+    ), "threshold mode should leave under-threshold deltas pending"
+    assert _rows(eng.read_refined()) == _rows(batch_oracle(changes, eng.plan).select(*CMP_COLS))
+    assert final_state_matches(table.read(), batch_oracle(changes, eng.plan))

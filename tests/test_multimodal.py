@@ -86,3 +86,31 @@ def test_decode_media_default_remains_stub(spark):
     stub = _decode_stub(b"P6\n1 1\n255\n\xff\xff\xff")
     # the stub does NOT understand PPM — proving the default is unchanged
     assert (got["width"], got["height"]) == (stub["width"], stub["height"]) != (1, 1)
+
+
+def test_malformed_magic_payloads_fall_through_to_the_stub():
+    """A payload that starts with a codec's magic but carries a truncated
+    or garbage header must return None from the codec (so decode_basic
+    falls through to the stub) — not crash the whole mapInPandas decode
+    job on one bad row."""
+    from dibbs_ecr_refiner_spark.queries.multimodal import _decode_stub, decode_wav
+
+    bad = [
+        b"P6",  # magic only
+        b"P6 12",  # truncated header (one field)
+        b"P6  \n# comment only",  # comment, no fields
+        b"P6 0 0 255 ",  # zero dimensions
+        b"P6 x y z ",  # non-numeric fields
+        b"P6 3 2 0 \x00\x00",  # maxval 0 (division guard)
+        b"RIFF\x00\x00\x00\x00WAVE",  # WAV with no chunks
+        b"RIFF\x04\x00\x00\x00WAVEfmt ",  # truncated fmt chunk
+    ]
+    for payload in bad:
+        got = decode_basic(payload)
+        assert got is not None and got["n_bytes"] == len(payload)
+        if payload.startswith(b"P6"):
+            assert decode_ppm(payload) is None, payload
+            assert got == _decode_stub(payload)
+        else:
+            # WAV header-only payloads parse to zeros, never crash
+            assert decode_wav(payload) is not None or got == _decode_stub(payload)

@@ -160,3 +160,75 @@ def test_fsck_flags_tag_pinning_missing_snapshot(spark, tmp_path):
     os.remove(os.path.join(table._manifest_dir, "v00000001.json"))
     bad = verify_table(table)
     assert any("tag 'gold' pins missing v1" in i for i in bad["issues"])
+
+
+def test_concurrent_taggers_with_different_names_both_land(spark, tmp_path):
+    """Round-4 ADVICE fix: tags are one file each, created atomically —
+    concurrent taggers with DIFFERENT names can no longer lose each other
+    to a read-modify-write of a shared refs blob. 16 threads racing on a
+    mix of unique and colliding names: every unique name must survive,
+    every collision must raise 'already pins'."""
+    import threading
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1)]), "b0")
+
+    errors, collisions = [], []
+    barrier = threading.Barrier(16)
+
+    def work(i):
+        barrier.wait()
+        try:
+            table.tag(f"run-{i % 12}")  # 12 unique names, 4 collisions
+        except ValueError as e:
+            if "already pins" in str(e):
+                collisions.append(i)
+            else:
+                errors.append(e)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert set(table.tags()) == {f"run-{i}" for i in range(12)}
+    assert len(collisions) == 4
+
+
+def test_legacy_single_file_refs_migrate_on_first_write(spark, tmp_path):
+    """A pre-round-4 table carries one _refs.json; reads see it as-is and
+    the first tag mutation bursts it into per-tag files (legacy file
+    removed, nothing lost), including for the SparkSession-less resolver
+    the lake_cdc source uses."""
+    import json
+
+    from dibbs_ecr_refiner_spark.lake.stream_source import _resolve_tag
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1)]), "b0")
+    table.merge(_delta(spark, [("c1", 0, "v2", 2)]), "b1")
+    with open(os.path.join(root, "_manifests", "_refs.json"), "w") as f:
+        json.dump({"tags": {"old-a": {"version": 1}, "old-b": {"version": 2}}}, f)
+
+    assert table.resolve_tag("old-a") == 1
+    assert _resolve_tag(root, "old-b") == 2
+
+    table.tag("new", version=2)  # first write migrates
+    assert not os.path.exists(os.path.join(root, "_manifests", "_refs.json"))
+    assert set(table.tags()) == {"old-a", "old-b", "new"}
+    assert _resolve_tag(root, "old-a") == 1  # now a per-tag file
+    table.delete_tag("old-a")
+    assert set(table.tags()) == {"old-b", "new"}
+
+
+def test_tag_names_are_validated_as_filenames(spark, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1)]), "b0")
+    for bad in ("a/b", ".hidden", "", "a b", "../up"):
+        with pytest.raises(ValueError, match="invalid tag name"):
+            table.tag(bad)
+    table.tag("ok-1.2_3")
