@@ -311,16 +311,84 @@ def _skip_rewrites(options) -> bool:
     return str(options.get("skiprewrites", "true")).lower() != "false"
 
 
+class _FilePruner:
+    """File-level pruning shared by both faces of the source: a file is
+    dropped only when it PROVABLY contains no qualifying rows — by the
+    key's bucket hash (driver-side xxhash, write/read parity pinned by
+    test) and/or the manifest-stamped per-file [min,max] stats. Pruning
+    saves IO, never owns correctness: the batch face returns every filter
+    for Spark to re-apply post-scan, and the stream face documents that
+    surviving files are delivered whole (compose with ``.filter()``).
+    Bucket-hash pruning switches itself off when the span crossed a
+    rebucket (``buckets_constant`` False) — span files keep the OLD
+    numbering there. ≙ the event-filtered SQS tail, reference
+    lambda_function.py:192-209."""
+
+    def __init__(self, conv_eq: str | None = None, ts_lo: int | None = None):
+        self.conv_eq = conv_eq
+        self.ts_lo = ts_lo  # inclusive lower bound, epoch-µs
+
+    @property
+    def active(self) -> bool:
+        return self.conv_eq is not None or self.ts_lo is not None
+
+    def keep(self, f: dict, snap: dict, buckets_constant: bool) -> bool:
+        from .stats import _stats_keep
+
+        if self.conv_eq is not None:
+            from .table import xxhash64
+
+            nb = int(snap.get("num_buckets", 0))
+            h = xxhash64(self.conv_eq.encode("utf-8"))
+            signed = h - (1 << 64) if h >= (1 << 63) else h  # == LakeTable.bucket_of
+            if buckets_constant and nb and int(f["bucket"]) != signed % nb:
+                return False
+            if not _stats_keep(f, "conv_id", self.conv_eq, self.conv_eq):
+                return False
+        if self.ts_lo is not None and not _stats_keep(f, "ts", lo=self.ts_lo):
+            return False
+        return True
+
+
+def _parse_ts_opt(v) -> int:
+    """A ``sinceTs`` option value as epoch-µs: integer epoch-µs verbatim,
+    else an ISO-8601 timestamp (naive = UTC, same convention the stats
+    stamp uses)."""
+    import datetime as _dt
+
+    from .stats import _ts_us
+
+    s = str(v)
+    try:
+        return int(s)
+    except ValueError:
+        return _ts_us(_dt.datetime.fromisoformat(s))
+
+
 def _split_bytes(options) -> int:
     return int(options.get("targetsplitbytes", 0) or 0) or DEFAULT_SPLIT_BYTES
 
 
 class LakeCdcStreamReader(DataSourceStreamReader):
+    """The streaming face. ``pushFilters`` exists only on batch
+    ``DataSourceReader`` in the 4.1 API, so a filtered streaming consumer
+    would Arrow-scan every added file; the ``sinceTs`` / ``convId`` READ
+    OPTIONS close that gap — the same :class:`_FilePruner` stats/bucket
+    logic, declared up front instead of pushed down. Semantics: file-level
+    IO pruning ONLY. A surviving file is delivered whole (stats are
+    per-file ranges, not row predicates), so a consumer composes the
+    option with the matching ``.filter()``; the option guarantees no
+    QUALIFYING row is ever dropped, never that non-qualifying rows are."""
+
     def __init__(self, options):
         self.root = options["path"]
         self.skip_rewrites = _skip_rewrites(options)
         self.split_bytes = _split_bytes(options)
         self.max_versions = int(options.get("maxversionsperbatch", 0) or 0)
+        self._pruner = _FilePruner(
+            conv_eq=options.get("convid"),
+            ts_lo=_parse_ts_opt(options["sincets"]) if "sincets" in options else None,
+        )
         self.starting = _version_opt(options, self.root, "startingversion", "startingtag")
         self._last: int | None = None
         # pin the query's column set NOW (the declared schema is immutable
@@ -349,7 +417,13 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         if self._pin_cols is None:
             self._pin_cols = _snapshot_cols(_snapshot(self.root, to))
         return _plan_partitions(
-            self.root, frm, to, self.skip_rewrites, self.split_bytes, self._pin_cols
+            self.root,
+            frm,
+            to,
+            self.skip_rewrites,
+            self.split_bytes,
+            self._pin_cols,
+            keep_file=self._pruner.keep if self._pruner.active else None,
         )
 
     def read(self, partition: LakeFilePartition) -> Iterator:
@@ -383,8 +457,7 @@ class LakeCdcBatchReader(DataSourceReader):
         )
         self.skip_rewrites = _skip_rewrites(options)
         self.split_bytes = _split_bytes(options)
-        self._conv_eq: str | None = None
-        self._ts_lo = None  # inclusive lower bound (epoch-µs)
+        self._pruner = _FilePruner()
 
     def _accept_filters(self, filters):
         """Partition-pruning pushdown (Spark 4.1 Python Data Source API):
@@ -404,35 +477,18 @@ class LakeCdcBatchReader(DataSourceReader):
             cls = type(f).__name__
             col = getattr(f, "attribute", None)
             if cls == "EqualTo" and col == ("conv_id",) and isinstance(f.value, str):
-                self._conv_eq = f.value
+                self._pruner.conv_eq = f.value
             elif cls in ("GreaterThanOrEqual", "GreaterThan") and col == ("ts",):
                 try:
-                    self._ts_lo = _ts_us(f.value)
+                    self._pruner.ts_lo = _ts_us(f.value)
                 except (TypeError, ValueError, AttributeError):
                     pass
         return filters  # Spark re-applies everything
 
-    def _keep_file(self, f: dict, snap: dict, buckets_constant: bool) -> bool:
-        from .stats import _stats_keep
-
-        if self._conv_eq is not None:
-            from .table import xxhash64
-
-            nb = int(snap.get("num_buckets", 0))
-            h = xxhash64(self._conv_eq.encode("utf-8"))
-            signed = h - (1 << 64) if h >= (1 << 63) else h  # == LakeTable.bucket_of
-            if buckets_constant and nb and int(f["bucket"]) != signed % nb:
-                return False
-            if not _stats_keep(f, "conv_id", self._conv_eq, self._conv_eq):
-                return False
-        if self._ts_lo is not None and not _stats_keep(f, "ts", lo=self._ts_lo):
-            return False
-        return True
-
     def partitions(self) -> Sequence[InputPartition]:
         if self.to <= self.frm:
             return [LakeFilePartition(None, (), [])]
-        keep = self._keep_file if (self._conv_eq is not None or self._ts_lo is not None) else None
+        keep = self._pruner.keep if self._pruner.active else None
         return _plan_partitions(
             self.root, self.frm, self.to, self.skip_rewrites, self.split_bytes, keep_file=keep
         )

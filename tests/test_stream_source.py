@@ -600,3 +600,168 @@ def test_bucket_pruning_disabled_across_a_rebucket_span(spark, tmp_path):
                 if batch.num_rows:
                     found.update(batch.column("conv_id").to_pylist())
         assert key in found, f"pruning dropped {key}'s file across the rebucket span"
+
+
+def test_stream_since_ts_option_prunes_cold_stamped_files(spark, tmp_path):
+    """sinceTs on the STREAMING face (pushFilters is batch-only in the
+    4.1 API): a filtered tail plans only the stats-qualifying files —
+    compacted files stamped with a cold ts range are skipped, unstamped
+    ingest files are always scanned (conservative), and no qualifying row
+    is ever dropped. ≙ the event-filtered SQS tail, reference
+    lambda_function.py:192-209."""
+    import datetime as dt
+
+    from dibbs_ecr_refiner_spark.lake.stream_source import LakeCdcStreamReader
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=4)
+    old_ts, new_ts = dt.datetime(2026, 1, 1), dt.datetime(2026, 6, 1)
+    rows_old = [(f"c{i}", 0, old_ts, i + 1, "user", f"t{i}", None, False) for i in range(12)]
+    table.merge(spark.createDataFrame(rows_old, SCHEMA), "b0")
+    # force the rewrite (single-file buckets are skipped by default) so
+    # per-file conv_id/ts stats get stamped
+    maintenance.compact(table, buckets=list(range(4)))
+    rows_new = [("hot", 0, new_ts, 100, "user", "fresh", None, False)]
+    table.merge(spark.createDataFrame(rows_new, SCHEMA), "b1", mode="mor")
+
+    cutoff = dt.datetime(2026, 3, 1).isoformat()
+    r_all = LakeCdcStreamReader({"path": root})
+    r_pruned = LakeCdcStreamReader({"path": root, "sincets": cutoff})
+    span = ({"version": 0}, {"version": table._current_version()})
+    n_all = len(r_all.partitions(*span))
+    n_pruned = len(r_pruned.partitions(*span))
+    assert n_pruned < n_all, (n_pruned, n_all)
+    # every surviving partition is either the unstamped fresh delta or a
+    # file whose stamped range can hold the cutoff — and 'hot' survives
+    found = set()
+    for p in r_pruned.partitions(*span):
+        for batch in r_pruned.read(p):
+            if batch.num_rows:
+                found.update(batch.column("conv_id").to_pylist())
+    assert "hot" in found
+
+    # end-to-end: filtered stream (option + matching .filter, the
+    # documented composition) delivers exactly the qualifying rows
+    from pyspark.sql import functions as F
+
+    sink = Sink()
+    register(spark)
+    q = (
+        spark.readStream.format("lake_cdc")
+        .option("path", root)
+        .option("sinceTs", cutoff)
+        .load()
+        .filter(F.col("ts") >= cutoff)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert _key_set(sink.rows) == {("hot", 0, 100)}
+    finally:
+        q.stop()
+
+
+def test_stream_conv_id_option_prunes_to_the_keys_bucket(spark, tmp_path):
+    """convId on the streaming face prunes by bucket hash (no stats
+    needed — ingest files carry their bucket in the manifest), and a new
+    commit touching other buckets plans an empty slice of work for the
+    filtered tail."""
+    from dibbs_ecr_refiner_spark.lake.stream_source import LakeCdcStreamReader
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, num_buckets=8)
+    table.merge(_delta(spark, [(f"c{i}", 0, f"t{i}", i + 1, False) for i in range(40)]), "b0")
+
+    r_all = LakeCdcStreamReader({"path": root})
+    r_pruned = LakeCdcStreamReader({"path": root, "convid": "c7"})
+    span = ({"version": 0}, {"version": table._current_version()})
+    n_all = len(r_all.partitions(*span))
+    n_pruned = len(r_pruned.partitions(*span))
+    assert n_pruned < n_all, (n_pruned, n_all)
+    found = set()
+    for p in r_pruned.partitions(*span):
+        for batch in r_pruned.read(p):
+            if batch.num_rows:
+                found.update(batch.column("conv_id").to_pylist())
+    assert "c7" in found
+
+    # an incremental span that only touched OTHER buckets plans the empty
+    # sentinel — the filtered tail does zero Arrow scans for it
+    v1 = table._current_version()
+    bucket_of_c7 = table.bucket_of("c7")
+    other = next(f"x{i}" for i in range(100) if table.bucket_of(f"x{i}") != bucket_of_c7)
+    table.merge(_delta(spark, [(other, 0, "y", 500, False)]), "b1", mode="mor")
+    parts = r_pruned.partitions({"version": v1}, {"version": table._current_version()})
+    assert len(parts) == 1 and parts[0].path is None
+
+
+def test_bronze_to_silver_crash_between_merge_and_checkpoint_ack(spark, tmp_path):
+    """End-to-end exactly-once ACROSS two tables: crash in the worst
+    window — silver's merge committed, Spark's checkpoint ack for the
+    epoch not yet written. Injected faithfully: the merge on silver
+    succeeds and THEN the foreachBatch handler dies, so the query fails
+    with offsets/<epoch> written but commits/<epoch> absent — exactly the
+    on-disk state a process kill in that window leaves. The restart
+    re-executes the SAME epoch id over the SAME offset span; silver's
+    per-batch-id merge skip absorbs the redelivery — no duplicate rows,
+    no second snapshot — and the chain keeps flowing afterward."""
+    import pyspark.errors
+
+    from pyspark.sql import functions as F
+
+    from dibbs_ecr_refiner_spark.streaming.apply import stream_between_lakes
+
+    bronze = LakeTable(spark, str(tmp_path / "bronze"), num_buckets=2)
+    silver = LakeTable(spark, str(tmp_path / "silver"), num_buckets=2)
+    cp = str(tmp_path / "cp")
+    xform = lambda df: df.withColumn("text", F.upper(F.col("text")))  # noqa: E731
+
+    bronze.merge(_delta(spark, [("c1", 0, "a", 1, False), ("c2", 0, "b", 2, False)]), "b0")
+    stream_between_lakes(spark, bronze, silver, cp, transform=xform).awaitTermination()
+    v_before = silver.current_snapshot()["snapshot_id"]
+
+    # arm the crash: silver.merge commits, then the handler dies before
+    # Spark can ack the epoch in the checkpoint
+    real_merge = silver.merge
+
+    def merge_then_crash(df, batch_id, **kw):
+        res = real_merge(df, batch_id, **kw)
+        if not res.get("skipped"):
+            raise RuntimeError("injected crash after merge, before checkpoint ack")
+        return res
+
+    bronze.merge(_delta(spark, [("c1", 0, "a2", 3, False)]), "b1", mode="mor")
+    silver.merge = merge_then_crash
+    try:
+        with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+            stream_between_lakes(spark, bronze, silver, cp, transform=xform).awaitTermination()
+    finally:
+        silver.merge = real_merge
+
+    # the crash window left its mark: the merge IS durable on silver...
+    assert silver.current_snapshot()["snapshot_id"] == v_before + 1
+    v_after = silver.current_snapshot()["snapshot_id"]
+    applied_after = set(silver.current_snapshot()["applied_batches"])
+    rows_after = {(r["conv_id"], r["turn_idx"], r["text"]) for r in silver.read().collect()}
+    assert rows_after == {("c1", 0, "A2"), ("c2", 0, "B")}
+    # ...but the checkpoint never acked the epoch
+    import os as _os
+
+    acked = {c for c in _os.listdir(_os.path.join(cp, "commits")) if not c.startswith(".")}
+    offsets = {c for c in _os.listdir(_os.path.join(cp, "offsets")) if not c.startswith(".")}
+    assert offsets - acked, "crash must land between offset write and commit ack"
+
+    # restart: same epoch id, same span — redelivery is a no-op on silver
+    stream_between_lakes(spark, bronze, silver, cp, transform=xform).awaitTermination()
+    assert silver.current_snapshot()["snapshot_id"] == v_after, "redelivery must be a no-op"
+    assert set(silver.current_snapshot()["applied_batches"]) == applied_after
+    assert {(r["conv_id"], r["turn_idx"], r["text"]) for r in silver.read().collect()} == rows_after
+
+    # the chain still advances on genuinely new data
+    bronze.merge(_delta(spark, [("c3", 0, "c", 5, False)]), "b2", mode="mor")
+    stream_between_lakes(spark, bronze, silver, cp, transform=xform).awaitTermination()
+    assert ("c3", 0, "C") in {
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in silver.read().collect()
+    }
