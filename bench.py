@@ -194,6 +194,10 @@ def main_bench() -> None:
             "events": n_events,
             "seconds": round(replay_sec, 3),
             "events_per_sec": round(n_events / replay_sec, 1),
+            # auto's completion fold, split out (same decomposition as the
+            # explicit MOR row): ingest = the apply path alone
+            "fold_seconds": round(stats.fold_seconds, 3),
+            "events_per_sec_ingest": round(stats.events_per_sec_ingest, 1),
             "batches": stats.batches,
             "bytes_written": _du(os.path.join(work, "lake", "data")),
         }
@@ -275,7 +279,7 @@ def main_bench() -> None:
         )
         auto_b0 = _du(os.path.join(work, "lake", "data"))
         t0 = time.time()
-        _replay(spark, log3, os.path.join(work, "lake"), mode="auto")
+        ss_auto_stats, _ = _replay(spark, log3, os.path.join(work, "lake"), mode="auto")
         ss_auto_sec = time.time() - t0
         auto_bytes = _du(os.path.join(work, "lake", "data")) - auto_b0
         cdc["steady_state"] = {
@@ -293,6 +297,13 @@ def main_bench() -> None:
             "auto_default": {
                 "seconds": round(ss_auto_sec, 3),
                 "events_per_sec": round(ss_events / ss_auto_sec, 1),
+                # the ingest/fold decomposition MOR already gets: auto's
+                # per-batch cost at steady state IS the MOR cost; the
+                # completion fold is the separately-amortizable
+                # convergence sweep (continuous pipelines skip it with
+                # final_fold="threshold" and read via read_refined())
+                "fold_seconds": round(ss_auto_stats.fold_seconds, 3),
+                "events_per_sec_ingest": round(ss_auto_stats.events_per_sec_ingest, 1),
                 "bytes_written": auto_bytes,
             },
             "write_amplification_cow_over_mor": round(cow_bytes / max(mor_bytes, 1), 1),

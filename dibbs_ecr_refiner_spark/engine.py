@@ -46,11 +46,22 @@ class ReplayStats:
     batches_skipped: int = 0
     events: int = 0
     seconds: float = 0.0
+    fold_seconds: float = 0.0  # time inside mid-replay + final folds (⊂ seconds)
     lineage: list[dict] = field(default_factory=list)
 
     @property
     def events_per_sec(self) -> float:
         return self.events / self.seconds if self.seconds else 0.0
+
+    @property
+    def events_per_sec_ingest(self) -> float:
+        """Throughput of the apply path alone — fold time excluded. The
+        number comparable with a pure-MOR replay's ingest rate: auto mode's
+        per-batch cost IS the MOR cost at steady state; the fold is the
+        separately-amortizable convergence sweep (same split the bench
+        reports for explicit MOR + fold_deltas)."""
+        ingest = self.seconds - self.fold_seconds
+        return self.events / ingest if ingest > 0 else 0.0
 
 
 def normalize_changes(changes: DataFrame) -> DataFrame:
@@ -306,7 +317,9 @@ class ReplayEngine:
 
                     over = should_fold(self.table)
                     if over:
+                        tf = time.time()
                         self.fold_deltas(buckets=over)
+                        stats.fold_seconds += time.time() - tf
         if mode == "auto" and stats.batches and final_fold != "none":
             if final_fold == "threshold":
                 from .lake.maintenance import should_fold
@@ -320,7 +333,9 @@ class ReplayEngine:
                 # O(batch) cost.
                 pending = self._pending_delta_buckets()
             if pending:
+                tf = time.time()
                 self.fold_deltas(buckets=pending)
+                stats.fold_seconds += time.time() - tf
         stats.seconds = time.time() - t0
         return stats
 
