@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .lake.stats import _ts_us
 from .lake.table import LakeTable
 from .operators import cdc
 from .operators.enrich import enrich_displays
@@ -147,24 +148,34 @@ class ReplayEngine:
         touched: list[int] | None = None,
         hot: list[int] | None = None,
         bucket_lsn_max: dict[int, int] | None = None,
+        bucket_ts_range: dict[int, list[int]] | None = None,
         mode: str = "auto",
     ) -> dict:
         if self.table.is_applied(batch_id):
             return {"skipped": True, "batch_id": batch_id}
         if touched is None:
-            # Touched + hot buckets and per-bucket applied-LSN maxes from a
-            # two-column scan of the raw batch (column pruning keeps this to
-            # conv_id+change_lsn + a partial agg). replay() precomputes
-            # these for ALL batches in one pass instead.
+            # Touched + hot buckets, per-bucket applied-LSN maxes AND
+            # per-bucket ts ranges from a three-column scan of the raw batch
+            # (column pruning keeps this to conv_id+change_lsn+ts + a
+            # partial agg). replay() precomputes these for ALL batches in
+            # one pass instead.
             from .lake.table import bucket_expr
 
             counts = (
                 changes.groupBy(bucket_expr(self.table.num_buckets).alias("b"))
-                .agg(F.count(F.lit(1)).alias("count"), F.max("change_lsn").alias("lsn"))
+                .agg(
+                    F.count(F.lit(1)).alias("count"),
+                    F.max("change_lsn").alias("lsn"),
+                    F.min("ts").alias("ts_lo"),
+                    F.max("ts").alias("ts_hi"),
+                )
                 .collect()
             )
             touched, hot = _touched_and_hot({r["b"]: r["count"] for r in counts})
             bucket_lsn_max = {int(r["b"]): int(r["lsn"]) for r in counts}
+            bucket_ts_range = {
+                int(r["b"]): [_ts_us(r["ts_lo"]), _ts_us(r["ts_hi"])] for r in counts
+            }
             mode = self._resolve_mode(mode, sum(r["count"] for r in counts))
         elif mode == "auto":
             # caller precomputed buckets but not the row count — a pruned
@@ -193,6 +204,7 @@ class ReplayEngine:
             post_reduce=lambda d: enrich_displays(refine(d), plan),
             hot_buckets=hot,
             bucket_lsn_max=bucket_lsn_max,
+            bucket_ts_range=bucket_ts_range,
             mode=mode,
         )
 
@@ -275,15 +287,25 @@ class ReplayEngine:
             changes.groupBy(
                 F.col(batch_col), bucket_expr(self.table.num_buckets).alias("b")
             )
-            .agg(F.count(F.lit(1)).alias("count"), F.max("change_lsn").alias("lsn"))
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.max("change_lsn").alias("lsn"),
+                F.min("ts").alias("ts_lo"),
+                F.max("ts").alias("ts_hi"),
+            )
             .collect()
         )
         stats.events = sum(r["count"] for r in pre)
         by_batch: dict[str, dict[int, int]] = {}
         lsn_by_batch: dict[str, dict[int, int]] = {}
+        ts_by_batch: dict[str, dict[int, list[int]]] = {}
         for r in pre:
             by_batch.setdefault(r[batch_col], {})[r["b"]] = r["count"]
             lsn_by_batch.setdefault(r[batch_col], {})[int(r["b"])] = int(r["lsn"])
+            ts_by_batch.setdefault(r[batch_col], {})[int(r["b"])] = [
+                _ts_us(r["ts_lo"]),
+                _ts_us(r["ts_hi"]),
+            ]
         if mode == "auto" and fold_every is None:
             fold_every = 8
         t0 = time.time()
@@ -298,6 +320,7 @@ class ReplayEngine:
                 touched=touched,
                 hot=hot,
                 bucket_lsn_max=lsn_by_batch[batch_id],
+                bucket_ts_range=ts_by_batch[batch_id],
                 mode=batch_mode,
             )
             if res.get("skipped"):

@@ -3,12 +3,16 @@
 bookkeeping of refiner/app/lambda/lambda_function.py:276-295, generalized
 to file-granular pruning metadata).
 
-Stats are stamped ONLY by maintenance rewrites (compact / fold / rebucket
-pass ``collect_stats=True`` to ``LakeTable.merge``) — the ingest MERGE
-finalize stays a single os.replace with zero per-file footer reads (pinned
-by tests/test_lake.py::test_no_driver_side_footer_reads). Readers treat a
-missing stats block as "must scan", so mixed stamped/unstamped tables are
-always correct.
+EXACT (footer-read) stats are stamped only by maintenance rewrites
+(compact / fold / rebucket pass ``collect_stats=True`` to
+``LakeTable.merge``). The ingest hot path stamps a CONSERVATIVE ``ts``
+range on merge-on-read delta entries instead: the replay pre-pass
+aggregation already computes each bucket's min/max event ts per batch — a
+superset of the winners the delta file holds — so fresh deltas are
+``read_since``/``sinceTs``-prunable with zero extra jobs and zero footer
+reads (pinned by tests/test_lake.py::test_no_driver_side_footer_reads).
+Readers treat a missing stats block, or a missing per-column range, as
+"must scan", so mixed stamped/unstamped tables are always correct.
 
 Requires int64-µs parquet timestamps: legacy INT96 carries no parquet
 min/max statistics at all (session.py sets outputTimestampType).

@@ -74,11 +74,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Manifest file-level min/max stats (≙ Iceberg data-file column stats).
-# Stamped ONLY on maintenance rewrites (compact/fold/rebucket pass
-# collect_stats=True) — never in the ingest hot path: the MERGE finalize
-# stays a single os.replace with zero per-file footer reads (pinned by
-# test_no_driver_side_footer_reads, which bans the footer-reading library
-# from THIS module — the reader lives in lake/stats.py).
+# EXACT stats are stamped only on maintenance rewrites (compact/fold/
+# rebucket pass collect_stats=True); the ingest hot path stamps a
+# CONSERVATIVE per-bucket ts range on MOR delta entries, computed by the
+# caller's pre-pass aggregation (bucket_ts_range) — either way the MERGE
+# finalize stays a single os.replace with zero per-file footer reads
+# (pinned by test_no_driver_side_footer_reads, which bans the
+# footer-reading library from THIS module — the reader lives in
+# lake/stats.py).
 from . import manifests as _mf
 from .stats import STATS_COLS, _stats_keep, _ts_us, file_column_stats  # noqa: F401
 
@@ -924,6 +927,7 @@ class LakeTable:
         post_reduce=None,
         hot_buckets: list[int] | None = None,
         bucket_lsn_max: dict[int, int] | None = None,
+        bucket_ts_range: dict[int, list[int]] | None = None,
         advance_watermarks: bool = True,
         mode: str = "cow",
         watermarks_override: dict[str, int] | None = None,
@@ -1107,6 +1111,19 @@ class LakeTable:
                     }
                     if mode == "mor" and not replace_buckets:
                         entry["kind"] = "delta"
+                        # Ingest-path ts skipping with ZERO footer reads:
+                        # the caller's pre-pass aggregation already knows
+                        # each bucket's min/max event ts for this batch,
+                        # a conservative superset of the LWW winners the
+                        # delta file actually holds (refine/enrich never
+                        # rewrite ts). Stamping it makes FRESH delta files
+                        # read_since/sinceTs-prunable before any fold; the
+                        # fold later replaces this with exact footer stats.
+                        # conv_id is deliberately absent (missing per-column
+                        # range ⇒ must-scan) — point lookups already prune
+                        # by bucket hash.
+                        if bucket_ts_range and b in bucket_ts_range:
+                            entry["stats"] = {"ts": list(bucket_ts_range[b])}
                     if replace_buckets:
                         # maintenance rewrite (compaction / rebucket): same
                         # logical content in new files — change-feed readers

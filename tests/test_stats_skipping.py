@@ -140,3 +140,82 @@ def test_point_lookup_correct_with_mixed_stamped_and_unstamped_files(spark, tmp_
     assert got == [("c1", 0, "v2", FEB)]
     # tombstone visible when asked
     assert table.read_conversation("c1", include_tombstones=True).count() == 2
+
+
+# ---------------- ingest-path delta stats (pre-pass ts ranges) ----------------
+
+RAW_SCHEMA = (
+    "conv_id string, turn_idx int, op string, role string, text string, "
+    "tool string, ts timestamp, change_lsn long, ingest_file string"
+)
+
+
+def _raw(spark, rows):
+    """Raw change-log rows for the ENGINE path (op + ingest_file present)."""
+    return spark.createDataFrame(
+        [(c, i, "update", "user", x, None, t, lsn, b) for (c, i, x, lsn, t, b) in rows],
+        RAW_SCHEMA,
+    )
+
+
+def _engine(spark, tmp_path, buckets=2):
+    from dibbs_ecr_refiner_spark.engine import ReplayEngine
+    from dibbs_ecr_refiner_spark.plans.config import default_plan
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=buckets)
+    return table, ReplayEngine(spark, table, default_plan())
+
+
+def test_engine_mor_batches_stamp_conservative_ts_stats(spark, tmp_path):
+    """apply_batch's pre-pass aggregation already knows each bucket's
+    min/max event ts, so MOR delta entries get a ts range with zero footer
+    reads — a conservative superset of the winners the file holds."""
+    table, eng = _engine(spark, tmp_path)
+    eng.apply_batch(
+        _raw(spark, [(f"c{i:02d}", 0, f"jan{i}", i, JAN, "b0") for i in range(12)]),
+        "b0",
+        mode="mor",
+    )
+    snap = table.current_snapshot()
+    deltas = [f for f in snap["files"] if f.get("kind") == "delta"]
+    assert deltas and all("stats" in f for f in deltas)
+    for f in deltas:
+        lo, hi = f["stats"]["ts"]
+        got = (
+            spark.read.parquet(str(tmp_path / "t" / f["path"]))
+            .agg(F.min("ts"), F.max("ts"))
+            .first()
+        )
+        # conservative superset of the file's true range
+        assert lo <= _ts_us(got[0]) and hi >= _ts_us(got[1])
+        # conv_id deliberately absent -> any conv_id predicate must-scans
+        assert "conv_id" not in f["stats"]
+        assert _stats_keep(f, "conv_id", "zzz", "zzz")
+
+
+def test_fresh_deltas_are_since_prunable_before_any_fold(spark, tmp_path):
+    """The tail-read win: a sinceTs cut between two UNFOLDED MOR batches
+    prunes the cold batch's delta files on manifest stats alone."""
+    table, eng = _engine(spark, tmp_path)
+    eng.apply_batch(
+        _raw(spark, [(f"c{i:02d}", 0, f"jan{i}", i, JAN, "b0") for i in range(12)]),
+        "b0",
+        mode="mor",
+    )
+    eng.apply_batch(
+        _raw(spark, [(f"c{i:02d}", 1, f"feb{i}", 100 + i, FEB, "b1") for i in range(3)]),
+        "b1",
+        mode="mor",
+    )
+    cut = dt.datetime(2026, 1, 20)
+    snap = table.current_snapshot()
+    kept = [f for f in snap["files"] if _stats_keep(f, "ts", lo=_ts_us(cut))]
+    assert 0 < len(kept) < len(snap["files"]), "JAN deltas must be pruned without a fold"
+    got = _rows(table.read_since(cut))
+    want = _rows(table.read().where(F.col("ts") >= F.lit(cut)))
+    assert got == want and len(got) == 3
+    # a later fold replaces the conservative range with exact footer stats
+    compact(table, buckets=list(range(table.num_buckets)))
+    snap = table.current_snapshot()
+    assert all("stats" in f and "conv_id" in f["stats"] for f in snap["files"])
+    assert _rows(table.read_since(cut)) == want
