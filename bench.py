@@ -90,11 +90,17 @@ def _run_queries(spark) -> dict[str, float]:
     for name in HEADLINE:
         df = qs[name](spark, SF_DIR)
         # warm-state measurement: first execution pays one-time JIT/codegen
-        # (identical at any scale/cluster size, so it isn't the signal)
+        # (identical at any scale/cluster size, so it isn't the signal);
+        # then median-of-3 — the sub-second queries are pure noise
+        # otherwise on a shared box (r4's driver run measured code-unchanged
+        # TPC-H rows 1.9x apart purely from co-tenant bursts)
         df.write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        trials = []
+        for _ in range(3):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            trials.append(time.time() - t0)
+        times[name] = round(sorted(trials)[1], 3)
     return times
 
 
@@ -198,6 +204,11 @@ def main_bench() -> None:
             # explicit MOR row): ingest = the apply path alone
             "fold_seconds": round(stats.fold_seconds, 3),
             "events_per_sec_ingest": round(stats.events_per_sec_ingest, 1),
+            # cold/warm split: batch 1 pays the session's one-time
+            # JIT/codegen/python-worker warmup (10-16s measured); the warm
+            # median is the steady-state signal to compare across rounds
+            "cold_first_batch_s": round(stats.cold_first_batch_seconds, 3),
+            "median_warm_ev_s": round(stats.warm_median_events_per_sec, 1),
             "batches": stats.batches,
             "bytes_written": _du(os.path.join(work, "lake", "data")),
         }
@@ -253,12 +264,12 @@ def main_bench() -> None:
         )
         cow_b0 = _du(os.path.join(work, "lake", "data"))
         t0 = time.time()
-        _replay(spark, log2, os.path.join(work, "lake"))
+        ss_cow_stats, _ = _replay(spark, log2, os.path.join(work, "lake"))
         ss_cow_sec = time.time() - t0
         cow_bytes = _du(os.path.join(work, "lake", "data")) - cow_b0
         mor_b0 = _du(os.path.join(work, "lake_mor", "data"))
         t0 = time.time()
-        _replay(spark, log2, os.path.join(work, "lake_mor"), mode="mor")
+        ss_mor_stats, _ = _replay(spark, log2, os.path.join(work, "lake_mor"), mode="mor")
         ss_mor_sec = time.time() - t0
         mor_bytes = _du(os.path.join(work, "lake_mor", "data")) - mor_b0
         # DEFAULT mode at steady state: auto resolves every batch to MOR
@@ -287,11 +298,19 @@ def main_bench() -> None:
             "cow": {
                 "seconds": round(ss_cow_sec, 3),
                 "events_per_sec": round(ss_events / ss_cow_sec, 1),
+                # the round-over-round comparable: this row's single-shot
+                # total carried ±30% error bars driven by a 10-16s cold
+                # first batch + short-stage noise (r4's A/B adjudication);
+                # the warm-median splits that term out
+                "cold_first_batch_s": round(ss_cow_stats.cold_first_batch_seconds, 3),
+                "median_warm_ev_s": round(ss_cow_stats.warm_median_events_per_sec, 1),
                 "bytes_written": cow_bytes,
             },
             "mor": {
                 "seconds": round(ss_mor_sec, 3),
                 "events_per_sec": round(ss_events / ss_mor_sec, 1),
+                "cold_first_batch_s": round(ss_mor_stats.cold_first_batch_seconds, 3),
+                "median_warm_ev_s": round(ss_mor_stats.warm_median_events_per_sec, 1),
                 "bytes_written": mor_bytes,
             },
             "auto_default": {
@@ -304,6 +323,8 @@ def main_bench() -> None:
                 # final_fold="threshold" and read via read_refined())
                 "fold_seconds": round(ss_auto_stats.fold_seconds, 3),
                 "events_per_sec_ingest": round(ss_auto_stats.events_per_sec_ingest, 1),
+                "cold_first_batch_s": round(ss_auto_stats.cold_first_batch_seconds, 3),
+                "median_warm_ev_s": round(ss_auto_stats.warm_median_events_per_sec, 1),
                 "bytes_written": auto_bytes,
             },
             "write_amplification_cow_over_mor": round(cow_bytes / max(mor_bytes, 1), 1),

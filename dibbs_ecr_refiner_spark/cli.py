@@ -103,6 +103,19 @@ def cmd_fsck(args) -> dict:
     return {"cmd": "fsck", **verify_table(table)}
 
 
+def cmd_validate(args) -> dict:
+    """Row-constraint validation of the refined view (≙ the reference's
+    XSD/Schematron output backstop): default transcript rules — kept text
+    non-null, role in enum, (conv_id, turn_idx) unique, ts non-null —
+    appending the outcome to the table's `_validations.jsonl` audit log."""
+    from dibbs_ecr_refiner_spark.lake.table import LakeTable
+    from dibbs_ecr_refiner_spark.operators.validate import validate_table
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    return {"cmd": "validate", **validate_table(table)}
+
+
 def cmd_tag(args) -> dict:
     """Named snapshot refs (≙ Iceberg tags) — pin the exact dataset
     version a training run read; tagged snapshots survive expire/GC."""
@@ -430,6 +443,9 @@ def main(argv=None) -> int:
     fs = sub.add_parser("fsck", help="metadata consistency check over all retained snapshots")
     fs.add_argument("--table", required=True)
 
+    va = sub.add_parser("validate", help="row-constraint validation of the refined view")
+    va.add_argument("--table", required=True)
+
     tg = sub.add_parser("tag", help="named snapshot refs: pin/list/delete (expiry-protected)")
     tg.add_argument("--table", required=True)
     tg.add_argument("--name", help="tag name (omit to list tags)")
@@ -499,6 +515,7 @@ def main(argv=None) -> int:
         "export": cmd_export,
         "tag": cmd_tag,
         "fsck": cmd_fsck,
+        "validate": cmd_validate,
         "refine-one": cmd_refine_one,
     }[args.cmd](args)
     print(json.dumps(out))

@@ -49,6 +49,13 @@ class ReplayStats:
     seconds: float = 0.0
     fold_seconds: float = 0.0  # time inside mid-replay + final folds (⊂ seconds)
     lineage: list[dict] = field(default_factory=list)
+    # per-applied-batch apply() wall time + event count (fold time excluded):
+    # the first batch carries the session's one-time JIT/codegen/broadcast
+    # warmup (measured 10-16s on a fresh JVM), so steady-state throughput
+    # claims should quote the warm-batch median, not the mean the cold
+    # batch drags around (bench.py reports both)
+    batch_seconds: list[float] = field(default_factory=list)
+    batch_events: list[int] = field(default_factory=list)
 
     @property
     def events_per_sec(self) -> float:
@@ -63,6 +70,26 @@ class ReplayStats:
         reports for explicit MOR + fold_deltas)."""
         ingest = self.seconds - self.fold_seconds
         return self.events / ingest if ingest > 0 else 0.0
+
+    @property
+    def cold_first_batch_seconds(self) -> float:
+        return self.batch_seconds[0] if self.batch_seconds else 0.0
+
+    @property
+    def warm_median_events_per_sec(self) -> float:
+        """Median per-batch throughput over the WARM batches (first batch
+        excluded — it pays the JVM/codegen/Python-worker warmup). The
+        steady-state number a long-running pipeline actually sustains;
+        immune to the cold-start term that gave single-shot bench rows
+        ±30% round-over-round error bars."""
+        if len(self.batch_seconds) < 2:
+            return self.events_per_sec
+        rates = sorted(
+            e / s
+            for e, s in zip(self.batch_events[1:], self.batch_seconds[1:])
+            if s > 0
+        )
+        return rates[(len(rates) - 1) // 2] if rates else 0.0
 
 
 def normalize_changes(changes: DataFrame) -> DataFrame:
@@ -173,8 +200,12 @@ class ReplayEngine:
             )
             touched, hot = _touched_and_hot({r["b"]: r["count"] for r in counts})
             bucket_lsn_max = {int(r["b"]): int(r["lsn"]) for r in counts}
+            # an all-NULL-ts bucket has no range to stamp; leaving the key
+            # out already means "must-scan" at prune time
             bucket_ts_range = {
-                int(r["b"]): [_ts_us(r["ts_lo"]), _ts_us(r["ts_hi"])] for r in counts
+                int(r["b"]): [_ts_us(r["ts_lo"]), _ts_us(r["ts_hi"])]
+                for r in counts
+                if r["ts_lo"] is not None
             }
             mode = self._resolve_mode(mode, sum(r["count"] for r in counts))
         elif mode == "auto":
@@ -278,6 +309,13 @@ class ReplayEngine:
         per-batch footgun at log scale. Prefer ``replay_path``."""
         from .lake.table import bucket_expr
 
+        if final_fold not in ("all", "threshold", "none"):
+            # a typo'd value would otherwise silently run the full
+            # completion fold — the opposite of what a continuous-pipeline
+            # caller asked for
+            raise ValueError(
+                f"final_fold must be 'all', 'threshold' or 'none', got {final_fold!r}"
+            )
         stats = ReplayStats()
         # one pass over (batch_col, bucket) for the event count, the batch
         # list, every batch's touched/hot bucket sets AND the true
@@ -302,10 +340,12 @@ class ReplayEngine:
         for r in pre:
             by_batch.setdefault(r[batch_col], {})[r["b"]] = r["count"]
             lsn_by_batch.setdefault(r[batch_col], {})[int(r["b"])] = int(r["lsn"])
-            ts_by_batch.setdefault(r[batch_col], {})[int(r["b"])] = [
-                _ts_us(r["ts_lo"]),
-                _ts_us(r["ts_hi"]),
-            ]
+            ts_by_batch.setdefault(r[batch_col], {})
+            if r["ts_lo"] is not None:  # all-NULL ts bucket: no range = must-scan
+                ts_by_batch[r[batch_col]][int(r["b"])] = [
+                    _ts_us(r["ts_lo"]),
+                    _ts_us(r["ts_hi"]),
+                ]
         if mode == "auto" and fold_every is None:
             fold_every = 8
         t0 = time.time()
@@ -313,7 +353,9 @@ class ReplayEngine:
         for batch_id in sorted(by_batch):
             touched, hot = _touched_and_hot(by_batch[batch_id])
             batch = changes.where(F.col(batch_col) == batch_id)
-            batch_mode = self._resolve_mode(mode, sum(by_batch[batch_id].values()))
+            n_batch_events = sum(by_batch[batch_id].values())
+            batch_mode = self._resolve_mode(mode, n_batch_events)
+            tb = time.time()
             res = self.apply_batch(
                 batch,
                 batch_id,
@@ -327,6 +369,8 @@ class ReplayEngine:
                 stats.batches_skipped += 1
             else:
                 stats.batches += 1
+                stats.batch_seconds.append(round(time.time() - tb, 3))
+                stats.batch_events.append(n_batch_events)
                 if batch_mode == "mor":
                     mor_batches += 1
                 stats.lineage.append(res)

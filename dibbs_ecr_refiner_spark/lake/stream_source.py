@@ -277,7 +277,15 @@ def _resolve_tag(root: str, name: str) -> int:
     layout (``_refs/<name>.json``) first, then the legacy single-file
     ``_refs.json`` a pre-round-4 table may still carry."""
     import json as _json
+    import re as _re
 
+    # Same gate as LakeTable._TAG_NAME: the option value is user-supplied
+    # and joined into a path, so reject traversal shapes before any I/O.
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+        raise ValueError(
+            f"invalid tag name {name!r}: use letters, digits, '.', '_', '-' "
+            "(must not start with '.')"
+        )
     p = os.path.join(root, "_manifests", "_refs", f"{name}.json")
     try:
         with open(p) as f:

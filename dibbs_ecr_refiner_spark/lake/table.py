@@ -449,12 +449,23 @@ class LakeTable:
         try:
             self._write_tag_file(name, meta)
         except FileExistsError:
-            raise ValueError(
-                f"tag {name!r} already pins v{self.tags()[name]['version']}"
-            ) from None
+            # The racing winner's tag may itself be gone by the time we
+            # re-read (deleted between our failed create and this lookup) —
+            # fall back to a generic message rather than a KeyError.
+            winner = self.tags().get(name, {}).get("version")
+            detail = f"already pins v{winner}" if winner is not None else "already exists"
+            raise ValueError(f"tag {name!r} {detail}") from None
         return {"tag": name, "version": v}
 
     def delete_tag(self, name: str) -> dict:
+        if not self._TAG_NAME.fullmatch(name):
+            # same gate as tag(): an unvalidated name would be joined into
+            # the refs path, letting '../v00000001' escape _refs/ and remove
+            # a snapshot manifest.
+            raise ValueError(
+                f"invalid tag name {name!r}: use letters, digits, '.', '_', '-' "
+                "(must not start with '.')"
+            )
         self._migrate_refs()
         path = os.path.join(self._refs_dir, f"{name}.json")
         try:

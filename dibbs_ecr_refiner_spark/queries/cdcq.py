@@ -363,3 +363,43 @@ def cdc_source_span(spark, sf):
         )
         .orderBy("role")
     )
+
+
+@q(
+    "validate_rows",
+    """
+    SELECT 'event_type_in_enum' AS rule, CAST(event_id AS VARCHAR) AS key,
+           'value ' || COALESCE(CAST(event_type AS VARCHAR), 'NULL') AS detail
+    FROM events
+    WHERE NOT COALESCE(event_type IN ('click','purchase','signup','view'), FALSE)
+    UNION ALL
+    SELECT 'value_in_range', CAST(event_id AS VARCHAR),
+           'value ' || COALESCE(CAST(value AS VARCHAR), 'NULL')
+    FROM events WHERE NOT COALESCE(value >= 0 AND value <= 400, FALSE)
+    UNION ALL
+    SELECT 'not_null(event_id)', CAST(event_id AS VARCHAR), 'value is NULL'
+    FROM events WHERE event_id IS NULL
+    UNION ALL
+    SELECT 'user_type_unique',
+           COALESCE(CAST(user_id AS VARCHAR), 'NULL') || '|' || COALESCE(event_type, 'NULL'),
+           'count=' || CAST(count(*) AS VARCHAR)
+    FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+    """,
+)
+def validate_rows(spark, sf):
+    """Declarative row-constraint validation (operators/validate.py) — the
+    reference's XSD/Schematron output backstop re-expressed as one Spark
+    job: per-row CHECK predicates + a uniqueness aggregation UNIONed into
+    a violations frame. Rules here are chosen to exercise all three rule
+    kinds against the clean synthetic events table: the enum excludes
+    'error' (every error row violates), the range caps value at 400, and
+    (user_id, event_type) is deliberately non-unique."""
+    from ..operators.validate import in_range, in_set, not_null, unique, violations
+
+    rules = [
+        in_set("event_type", ["click", "purchase", "signup", "view"], name="event_type_in_enum"),
+        in_range("value", 0, 400, name="value_in_range"),
+        not_null("event_id"),
+        unique("user_id", "event_type", name="user_type_unique"),
+    ]
+    return violations(_events(spark, sf), rules, ("event_id",))

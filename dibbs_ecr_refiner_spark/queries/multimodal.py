@@ -7,11 +7,11 @@ Spark-side plumbing — schema, batch iteration, partitioning, UDF signature —
 is real and is what the operator actually exercises. Swap ``_decode_stub``
 for a real decoder (PIL/ffmpeg) in production.
 
-Oracles: ``mm_decode_stub`` is rows-only (its feature vector is
-engine-internal), but the resize/frame-sample/chunking plumbing ops are
-FULLY oracled — the fake decode is a deterministic integer function of the
-payload byte length, so DuckDB recomputes the exact rows and the driver
-hash-checks them.
+Oracles: ALL four ops are fully oracled — the fake decode is a
+deterministic integer function of the payload byte length, so DuckDB
+recomputes the exact rows and the driver hash-checks them
+(``mm_decode_stub`` projects the feature vector as integer columns for the
+contract row; ``decode_media`` itself keeps the ``array<float>``).
 """
 
 from __future__ import annotations
@@ -23,13 +23,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QUERIES = {}
-ORACLES = {}  # mm_decode_stub stays rows-only; the plumbing ops register full oracles
+ORACLES = {}
 
 
 OUT_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, width int, height int, "
     "feat array<float>"
 )
+
+
+# the stub's fake-feature moduli: coprime so the 4 features differ; an
+# exact integer function of byte length means a SQL oracle can recompute
+# the decode (a real decoder's features are content-derived — the stub
+# only needs determinism + the right shape)
+_FEAT_MODS = (251, 241, 239, 233)
 
 
 def _decode_stub(payload: bytes) -> dict:
@@ -40,8 +47,9 @@ def _decode_stub(payload: bytes) -> dict:
     n = len(payload)
     width = (n % 64) + 1
     height = (n % 48) + 1
-    # 4 fake features: byte-derived, stable across runs
-    feat = [float(payload[i % n]) / 255.0 if n else 0.0 for i in range(4)]
+    # 4 fake features: length-derived, stable across runs, exactly
+    # recomputable by the DuckDB oracle from octet_length alone
+    feat = [float(n % m) / 255.0 for m in _FEAT_MODS]
     return {"n_bytes": n, "width": width, "height": height, "feat": feat}
 
 
@@ -155,18 +163,21 @@ def decode_media(df: DataFrame, payload_col: str = "payload", decoder=None) -> D
 
 def mm_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
     """Fake media table from documents (text bytes as the opaque payload),
-    decoded through the real mapInPandas pipeline."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
-    media = docs.select(
+    decoded through the real mapInPandas pipeline. The contract row
+    projects the feature vector back to its integer form (feat[i]*255 ==
+    n_bytes % mod_i exactly — float32 holds values ≤ 250/255 to ~1e-7, so
+    the round is lossless), giving the driver a float-format-free hash."""
+    decoded = decode_media(_media(spark, sf))
+    return decoded.select(
         "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"),
-    )
-    # The driver's rows-only canonicalizer sorts values in pandas, which
-    # cannot hash list cells — stringify the feature vector for the contract
-    # row; decode_media itself keeps the real array<float> column.
-    return decode_media(media).withColumn(
-        "feat", F.col("feat").cast("string")
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        *[
+            F.round(F.element_at("feat", i + 1) * 255).cast("int").alias(f"f{i}")
+            for i in range(4)
+        ],
     )
 
 
@@ -279,6 +290,19 @@ def mm_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["mm_resize_meta"] = mm_resize_meta
 QUERIES["mm_frame_sample"] = mm_frame_sample
 QUERIES["mm_audio_chunks"] = mm_audio_chunks
+
+ORACLES["mm_decode_stub"] = f"""
+WITH m AS (
+  SELECT doc_id, {_MEDIA_TYPE_SQL} AS media_type,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id, media_type, n AS n_bytes,
+       (n % 64) + 1 AS width,
+       (n % 48) + 1 AS height,
+       n % 251 AS f0, n % 241 AS f1, n % 239 AS f2, n % 233 AS f3
+FROM m
+"""
 
 ORACLES["mm_resize_meta"] = f"""
 WITH m AS (

@@ -649,3 +649,44 @@ def test_auto_replay_final_fold_threshold_keeps_refined_read_converged(
     ), "threshold mode should leave under-threshold deltas pending"
     assert _rows(eng.read_refined()) == _rows(batch_oracle(changes, eng.plan).select(*CMP_COLS))
     assert final_state_matches(table.read(), batch_oracle(changes, eng.plan))
+
+
+def test_continuous_pipeline_threshold_final_fold_long_replay(spark, tmp_path, changes):
+    """Continuous-pipeline mode (final_fold="threshold", the documented
+    knob): replay call boundaries are arbitrary, so across a LONG sequence
+    of alternating replay calls folds must stay demand-driven (no
+    fold-everything sweep at each call's end) while read_refined() stays
+    oracle-equal after every call."""
+    table, eng = _fresh(spark, tmp_path)
+    from dibbs_ecr_refiner_spark.lake.maintenance import should_fold
+
+    logs = [changes]
+    for i, prefix in enumerate(["ss1", "ss2"]):
+        follow = generate_changes(
+            spark,
+            ChangeLogParams(
+                n_conversations=40,
+                turns_per_conv=8,
+                n_events=800,
+                n_batches=3,
+                base_lsn=10_000 * (i + 1),
+                batch_prefix=prefix,
+            ),
+        )
+        logs.append(follow)
+
+    seen = None
+    for log in logs:
+        eng.replay(log, final_fold="threshold")
+        seen = log if seen is None else seen.unionByName(log)
+        assert _rows(eng.read_refined()) == _rows(
+            batch_oracle(seen, eng.plan).select(*CMP_COLS)
+        ), "read_refined diverged from the batch oracle mid-pipeline"
+        # demand-driven invariant: nothing over the fold threshold survives
+        # a completed call (the call folds exactly the over-threshold set)
+        assert not should_fold(table)
+
+    # the pipeline never ran a full convergence sweep: deltas may remain
+    # (that's the point — COW's guarantee is deferred), but plain read()'s
+    # core columns are still oracle-equal from the read-time LWW
+    assert final_state_matches(table.read(), batch_oracle(seen, eng.plan))

@@ -212,3 +212,29 @@ def test_items_prune_through_replay_matches_oracle(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_replay_rejects_misspelled_final_fold(spark, tmp_path, changes):
+    table, eng = _fresh(spark, tmp_path)
+    with pytest.raises(ValueError, match="final_fold"):
+        eng.replay(changes, final_fold="thresold")
+    assert table._current_version() is None  # rejected before any work
+
+
+def test_all_null_ts_batch_ingests(spark, tmp_path, changes):
+    """Regression (r5 advice): the ingest-path ts pre-pass must tolerate a
+    batch/bucket group whose ts is entirely NULL — no range is stamped and
+    the bucket simply stays must-scan at prune time."""
+    nullts = changes.withColumn("ts", F.lit(None).cast("timestamp"))
+    table, eng = _fresh(spark, tmp_path)
+    stats = eng.replay(nullts, mode="mor", final_fold="none")
+    assert stats.batches == PARAMS.n_batches
+    # per-batch path (apply_batch computes its own pre-pass) too
+    table2 = LakeTable(spark, str(tmp_path / "lake2"), num_buckets=8)
+    eng2 = ReplayEngine(spark, table2, default_plan())
+    one = nullts.where(F.col("ingest_file") == nullts.agg(F.min("ingest_file")).collect()[0][0])
+    res = eng2.apply_batch(one, "b-null-ts", mode="mor")
+    assert not res.get("skipped")
+    assert final_state_matches(
+        table.read_refined(), batch_oracle(nullts, eng.plan)
+    )

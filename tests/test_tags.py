@@ -232,3 +232,47 @@ def test_tag_names_are_validated_as_filenames(spark, tmp_path):
         with pytest.raises(ValueError, match="invalid tag name"):
             table.tag(bad)
     table.tag("ok-1.2_3")
+
+
+def test_delete_tag_validates_name_before_touching_paths(spark, tmp_path):
+    """Regression (r5 advice): delete_tag('../v00000001') must not resolve
+    outside _refs/ — an unvalidated join would os.remove a snapshot
+    manifest and destroy time travel."""
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1)]), "b0")
+    table.tag("keep")
+    manifest = tmp_path / "t" / "_manifests" / "v00000001.json"
+    assert manifest.exists()
+    for bad in ("../v00000001", "a/b", ".hidden", ""):
+        with pytest.raises(ValueError, match="invalid tag name"):
+            table.delete_tag(bad)
+    assert manifest.exists()  # nothing escaped the refs dir
+    assert table.read(tag="keep").count() == 1
+
+
+def test_stream_source_tag_options_reject_traversal_names(spark, tmp_path):
+    from dibbs_ecr_refiner_spark.lake.stream_source import _resolve_tag
+
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1)]), "b0")
+    table.tag("good")
+    assert _resolve_tag(str(tmp_path / "t"), "good") == 1
+    for bad in ("../v00000001", "a/b", ".hidden"):
+        with pytest.raises(ValueError, match="invalid tag name"):
+            _resolve_tag(str(tmp_path / "t"), bad)
+
+
+def test_tag_collision_message_survives_winner_deletion(spark, tmp_path, monkeypatch):
+    """The FileExistsError handler re-reads the winner's metadata; if the
+    winning tag vanished in between, the error must stay a ValueError."""
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    table.merge(_delta(spark, [("c1", 0, "v1", 1)]), "b0")
+    table.tag("gold")
+
+    def racing_write(name, meta):
+        raise FileExistsError(name)
+
+    monkeypatch.setattr(table, "_write_tag_file", racing_write)
+    monkeypatch.setattr(table, "tags", lambda: {})  # winner already deleted
+    with pytest.raises(ValueError, match="already exists"):
+        table.tag("gold")

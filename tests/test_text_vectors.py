@@ -86,11 +86,30 @@ def test_simhash_banded_search_finds_all_within_radius(spark):
 
 
 def test_ann_ivf_recall_vs_brute_force(spark):
-    """IVF with 16 deterministic cells, 2 probed: scans ~1/8 of the table
-    per query yet recovers nearly all true top-3 (measured 0.967)."""
+    """IVF with derived params (500 vecs → 23 cells, 2 probes): scans
+    ~1/8 of the table per query yet recovers nearly all true top-3."""
     from dibbs_ecr_refiner_spark.queries.vectors import ann_ivf_topk, embed_cosine_topk
 
     brute = _pairs(embed_cosine_topk(spark, SF))
     ivf = _pairs(ann_ivf_topk(spark, SF))
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.9, f"IVF recall collapsed: {recall}"
+
+
+def test_ann_ivf_recall_holds_at_larger_sf(spark):
+    """The scale-path claim off the toy shape: at sf0.1 (2000 vecs) the
+    derived params grow to 45 cells / 5 probes — same ≈1/8 scan fraction —
+    and recall must hold ≥ 0.9 there too (the fixed-probe config decayed
+    with cell count; the derived one must not)."""
+    from dibbs_ecr_refiner_spark.queries.vectors import (
+        _ivf_params,
+        ann_ivf_topk,
+        embed_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    assert _ivf_params(2000) == (45, 5)
+    brute = _pairs(embed_cosine_topk(spark, sf))
+    ivf = _pairs(ann_ivf_topk(spark, sf))
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.9, f"IVF recall collapsed at sf0.1: {recall}"
