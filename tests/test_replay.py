@@ -236,5 +236,5 @@ def test_all_null_ts_batch_ingests(spark, tmp_path, changes):
     res = eng2.apply_batch(one, "b-null-ts", mode="mor")
     assert not res.get("skipped")
     assert final_state_matches(
-        table.read_refined(), batch_oracle(nullts, eng.plan)
+        eng.read_refined(), batch_oracle(nullts, eng.plan)
     )

@@ -82,6 +82,7 @@ def main() -> None:
         sample_log = os.path.join(work, "sample_log")
         gen_sec = ingest_sec = 0.0
         actual_events = 0
+        curve = []  # per-chunk ingest throughput — the cost-vs-scale curve
         for i in range(chunks):
             params = ChangeLogParams(
                 n_conversations=events // 100,  # same conv:event ratio as bench
@@ -105,21 +106,21 @@ def main() -> None:
             gen_sec += time.time() - t0
             t0 = time.time()
             stats = eng.replay_path(log, mode="mor")
-            ingest_sec += time.time() - t0
+            chunk_sec = time.time() - t0
+            ingest_sec += chunk_sec
             actual_events += stats.events
             shutil.rmtree(log, ignore_errors=True)
-            print(
-                json.dumps(
-                    {
-                        "chunk": i,
-                        "events_so_far": actual_events,
-                        "ingest_eps_so_far": round(actual_events / ingest_sec, 1),
-                        "data_bytes": _du(os.path.join(work, "lake", "data")),
-                    }
-                ),
-                file=sys.stderr,
-                flush=True,
-            )
+            row = {
+                "chunk": i,
+                "chunk_events": stats.events,
+                "chunk_eps": round(stats.events / chunk_sec, 1),
+                "events_so_far": actual_events,
+                "ingest_eps_so_far": round(actual_events / ingest_sec, 1),
+                "data_bytes": _du(os.path.join(work, "lake", "data")),
+            }
+            curve.append(row)
+            print(json.dumps(row), file=sys.stderr, flush=True)
+        out["chunk_curve"] = curve
         out["gen_sec"] = round(gen_sec, 1)
         out["ingest_sec"] = round(ingest_sec, 1)
         out["events_per_sec"] = round(actual_events / ingest_sec, 1)
