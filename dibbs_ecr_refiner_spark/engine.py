@@ -224,6 +224,17 @@ class ReplayEngine:
         delta = normalize_changes(changes)
         refine = compile_refinement(self.plan, guarded=True)
         plan = self.plan
+        # Display enrichment source split by commit mode (guide §2.4 —
+        # remove dead shuffles/subtrees): a COW merge rewrites the whole
+        # touched-bucket content, so its committed rows ARE the converged
+        # view and must carry the full two-source display (config +
+        # narrative index). A MOR delta's display is batch-local either
+        # way — it cannot see narrative turns outside its own batch, and
+        # the converged value is recomputed at fold / read_refined() time
+        # — so the narrative index there is dead work that doubles the
+        # batch pipeline (the index branch re-evaluates the LWW aggregate
+        # subtree; measured ~2× per-batch cost in OPTIMIZATION_r06.md).
+        narrative = mode != "mor"
         return self.table.merge(
             delta,
             batch_id,
@@ -232,7 +243,7 @@ class ReplayEngine:
             # enrichment over the whole touched-bucket content so narrative
             # turns arriving in later batches back-fill earlier displays
             # (converging to the batch oracle's global view)
-            post_reduce=lambda d: enrich_displays(refine(d), plan),
+            post_reduce=lambda d: enrich_displays(refine(d), plan, narrative=narrative),
             hot_buckets=hot,
             bucket_lsn_max=bucket_lsn_max,
             bucket_ts_range=bucket_ts_range,

@@ -60,30 +60,48 @@ def compact(
     if not buckets:
         return {"skipped": True, "reason": "nothing to compact"}
 
+    # Fold pipeline shape (measured A/B in OPTIMIZATION_r06.md): the
+    # resolved read keeps the LWW's map-side PARTIAL reduce — fold input
+    # has high per-key multiplicity (base + one winner per touching delta
+    # commit), so combining before the exchange shrinks the shuffle ~3×
+    # (a raw-read/complete-agg variant measured 2× slower). The resolved
+    # winners are PERSISTed so the display-enrichment pass — whose
+    # narrative-index branch is a second consumer of the same subtree —
+    # reads them once instead of re-running the scan + reduce, and the
+    # rewrite commits with assume_reduced=True so merge skips its own
+    # (redundant) re-reduce of already-unique rows.
     df = table.read(buckets=buckets, include_tombstones=True)
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df
     if drop_tombstones_below is not None:
-        df = df.where(
+        out = out.where(
             ~(F.col("_deleted") & (F.col("change_lsn") <= drop_tombstones_below))
         )
     if post is not None:
-        df = post(df)
+        out = post(out)
 
     batch_id = f"compact-{snap['snapshot_id']}-{int(time.time() * 1000)}"
     # replace_buckets: the filtered read IS the new bucket content (rows are
     # already LWW winners); merge handles file layout + snapshot commit.
     # advance_watermarks=False: rewriting old content applies no new events,
     # so per-bucket watermarks must not be inflated to the table max.
-    res = table.merge(
-        df,
-        batch_id,
-        touched_buckets=buckets,
-        replace_buckets=True,
-        advance_watermarks=False,
-        # Maintenance is the one pass that pays per-file footer reads:
-        # stamp min/max stats so reads can skip the rewritten files
-        # (point lookups + read_since) — the ingest path never does.
-        collect_stats=True,
-    )
+    try:
+        res = table.merge(
+            out,
+            batch_id,
+            touched_buckets=buckets,
+            replace_buckets=True,
+            advance_watermarks=False,
+            assume_reduced=True,
+            # Maintenance is the one pass that pays per-file footer reads:
+            # stamp min/max stats so reads can skip the rewritten files
+            # (point lookups + read_since) — the ingest path never does.
+            collect_stats=True,
+        )
+    finally:
+        df.unpersist()
     res["compacted_buckets"] = len(buckets)
     return res
 
@@ -250,6 +268,8 @@ def rebucket(table: LakeTable, new_num_buckets: int, post=None) -> dict:
     if not old_buckets:
         return {"skipped": True, "reason": "empty table"}
 
+    # same shape as compact: resolved read (partial reduce before the
+    # exchange), post over the winners, assume_reduced rewrite
     df = table.read(include_tombstones=True)
     if post is not None:
         df = post(df)
@@ -267,6 +287,7 @@ def rebucket(table: LakeTable, new_num_buckets: int, post=None) -> dict:
             replace_buckets=True,
             advance_watermarks=False,
             watermarks_override=new_wm,
+            assume_reduced=True,
             collect_stats=True,
         )
     except Exception:

@@ -568,6 +568,7 @@ class LakeTable:
         conv_id_eq: str | None = None,
         min_ts=None,
         tag: str | None = None,
+        resolve_deltas: bool = True,
     ) -> DataFrame:
         """Read a snapshot (current, or ``version`` for time travel),
         pruning to ``buckets`` via the manifest file list (no directory
@@ -596,7 +597,16 @@ class LakeTable:
         safe: 10% of events carry ts out of lsn order by construction.)
 
         ``tag``: read the snapshot a named ref pins (``table.tag(...)``) —
-        time travel by name, expiry-protected."""
+        time travel by name, expiry-protected.
+
+        ``resolve_deltas=False`` returns the selected files' rows RAW —
+        merge-on-read delta files are not LWW-reduced, so a key may appear
+        once per commit that touched it. For callers that immediately run
+        their own per-key reduce (maintenance.compact / rebucket feed the
+        rows straight into ``merge``, whose bucket-layout LWW subsumes the
+        read-side one) — resolving here too would pay a second full
+        aggregation + exchange for identical winners. Not valid with
+        ``min_ts`` / tombstone filtering (both are winner-level predicates)."""
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version or tag, not both")
@@ -630,6 +640,13 @@ class LakeTable:
                 df = self._read_files(files, snap)
         if conv_id_eq is not None:
             df = df.where(F.col("conv_id") == F.lit(conv_id_eq))
+        if not resolve_deltas:
+            if min_ts is not None or not include_tombstones:
+                raise ValueError(
+                    "resolve_deltas=False requires include_tombstones=True "
+                    "and no min_ts (winner-level predicates need the reduce)"
+                )
+            return df
         if has_delta:
             from ..operators.cdc import lww_resolve
 
@@ -944,6 +961,7 @@ class LakeTable:
         watermarks_override: dict[str, int] | None = None,
         publish: bool = True,
         collect_stats: bool = False,
+        assume_reduced: bool = False,
     ) -> dict:
         """Exactly-once LWW MERGE of a prepared delta.
 
@@ -1044,25 +1062,61 @@ class LakeTable:
             sides.append(_conform(self._read_files(old_files, snap)))
         unioned = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
 
-        # LWW reduce (one aggregation shuffle with map-side partial combine
-        # — see operators/cdc.lww_resolve for the skew rationale), then the
-        # caller's post-reduce transform (the guarded refinement pass) over
-        # the winners.
+        # ONE exchange for the whole merge (guide §2.4 — two operations
+        # keyed the same way share one exchange): the union is hash-
+        # repartitioned into the target (_bucket, _salt) file layout FIRST,
+        # and the LWW reduce then groups by (_bucket, _salt, conv_id,
+        # turn_idx) — a grouping the repartition's HashPartitioning already
+        # satisfies (partitioning exprs ⊆ grouping exprs), so Catalyst
+        # plans a complete SortAggregate with NO second exchange. Both
+        # extra grouping columns are functions of the key (bucket of
+        # conv_id; salt of (conv_id, turn_idx)), so the winners are
+        # identical to a plain per-key reduce. The previous shape —
+        # aggregate-then-repartition — shuffled every batch twice (LWW
+        # exchange + layout exchange); measured A/B in OPTIMIZATION_r06.md.
+        # Skew note: this trades the map-side partial combine for one fewer
+        # full-batch shuffle; a hot (conv_id, turn_idx) key's duplicates
+        # now meet in one task, where the salt already spreads hot buckets
+        # across 4 writers (the explicit hot-key splitting below).
+        #
+        # Hot buckets — detected by the caller from per-bucket delta
+        # counts — get a turn-level salt so one hot bucket is reduced and
+        # written by several tasks in parallel; cold buckets stay
+        # one-file-per-bucket so later target reads don't pay a per-file
+        # open cost 4× over. Explicit partition count (a bare
+        # repartition(col) is AQE-rebalanced down to ~one partition at
+        # small sizes, serializing the write).
         from ..operators.cdc import lww_resolve
 
-        merged = lww_resolve(unioned, key=KEY, order=ORDER)
+        if hot_buckets:
+            salt = F.when(
+                F.col("_bucket").isin([int(b) for b in hot_buckets]),
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4)),
+            ).otherwise(F.lit(0))
+        else:
+            salt = F.lit(0)
+        work = unioned.withColumn("_bucket", bucket_expr(self.num_buckets)).withColumn(
+            "_salt", salt.cast("int")
+        )
+        n_out = max(self.spark.sparkContext.defaultParallelism, len(touched))
+        work = work.repartition(n_out, F.col("_bucket"), F.col("_salt"))
+        # assume_reduced: the caller guarantees ≤1 row per (conv_id,
+        # turn_idx) — maintenance rewrites feed already-LWW-resolved
+        # content, so re-reducing here would sort+aggregate the full
+        # rewrite for identical winners (the old shape paid exactly that).
+        merged = (
+            work
+            if assume_reduced
+            else lww_resolve(work, key=("_bucket", "_salt", *KEY), order=ORDER)
+        )
         if post_reduce is not None:
+            # the caller's post-reduce transform (guarded refinement +
+            # display enrichment) over the winners — broadcast-joined
+            # lookups preserve the established partitioning
             merged = post_reduce(merged)
-        merged = merged.select(*cols).withColumn("_bucket", bucket_expr(self.num_buckets))
+        merged = merged.select(*cols, "_bucket")
 
-        # Write staged data files. Explicit partition count (a bare
-        # repartition(col) is AQE-rebalanced down to ~one partition at small
-        # sizes, serializing the write). Hot buckets — detected by the
-        # caller from per-bucket delta counts — additionally get a
-        # turn-level salt so one hot conversation's bucket is written by
-        # several tasks in parallel (the explicit hot-key splitting of the
-        # north rule); cold buckets stay one-file-per-bucket so later
-        # target reads don't pay a per-file open cost 4× over.
+        # Write staged data files.
         t_write = time.time()
         # File identity is claimed by a per-commit uuid token, never by the
         # snapshot version: two concurrent writers racing for snapshot_id+1
@@ -1071,15 +1125,7 @@ class LakeTable:
         # its orphaned directory is swept by gc_orphans().
         token = uuid.uuid4().hex[:12]
         staging = os.path.join(self._staging_dir, token)
-        if hot_buckets:
-            salt = F.when(
-                F.col("_bucket").isin([int(b) for b in hot_buckets]),
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4)),
-            ).otherwise(F.lit(0))
-        else:
-            salt = F.lit(0)
-        n_out = max(self.spark.sparkContext.defaultParallelism, len(touched))
-        staged_df = merged.repartition(n_out, F.col("_bucket"), salt)
+        staged_df = merged
         if SORT_WITHIN_FILES:
             # key-clustered files: a within-partition sort (no shuffle)
             # gives parquet row-group min/max stats on conv_id, so point
@@ -1145,8 +1191,19 @@ class LakeTable:
             # Maintenance rewrites only (compact/fold): stamp per-file
             # min/max so reads can skip files. Deliberately NOT done on the
             # ingest hot path — see the STATS_COLS note at the top.
-            for entry in new_files:
-                s = file_column_stats(os.path.join(self.root, entry["path"]))
+            # Footer reads are independent driver-side I/O — a small thread
+            # pool overlaps them instead of paying one serial open+parse
+            # per file (a big fold rewrites hundreds of files).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                stats_by_entry = list(
+                    pool.map(
+                        lambda e: file_column_stats(os.path.join(self.root, e["path"])),
+                        new_files,
+                    )
+                )
+            for entry, s in zip(new_files, stats_by_entry):
                 if s is not None:
                     entry["stats"] = s
         t_files = time.time() - t_files

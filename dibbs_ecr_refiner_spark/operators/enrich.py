@@ -96,13 +96,21 @@ def narrative_index(df: DataFrame, plan: RefinePlan) -> DataFrame | None:
     )
 
 
-def enrich_displays(df: DataFrame, plan: RefinePlan) -> DataFrame:
+def enrich_displays(df: DataFrame, plan: RefinePlan, narrative: bool = True) -> DataFrame:
     """Recompute ``_matched_display`` for every row from both sources:
     ``coalesce(config display, narrative-index display)``. Rows without a
     matched code keep NULL. Pure function of (config, conversation content)
-    — safe to re-run on carried rows during a MERGE."""
+    — safe to re-run on carried rows during a MERGE.
+
+    ``narrative=False`` fills from the config map only (no index subtree,
+    no join). Used on the merge-on-read ingest path, where the per-batch
+    display is batch-local anyway (a later batch's narrative turn can't be
+    seen) and the converged value is recomputed at fold / ``read_refined``
+    time regardless — the index+join there would be dead work: it doubles
+    the batch pipeline (the index branch re-evaluates the LWW aggregation
+    subtree) for a column the convergence pass overwrites."""
     cfg = config_display_expr(plan)
-    idx = narrative_index(df, plan)
+    idx = narrative_index(df, plan) if narrative else None
     if idx is None:
         return df.withColumn("_matched_display", cfg)
     cols = df.columns

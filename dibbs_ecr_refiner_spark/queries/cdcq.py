@@ -16,6 +16,21 @@ def _events(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/events.parquet")
 
 
+def _events_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """events fanned out across cores (the ``_docs_wide`` pattern): the
+    bench table arrives as a single one-row-group parquet file, so any
+    CPU-heavy pre-shuffle work (the LWW partial reduce here) runs on one
+    core unless explicitly spread. The spread key is a deterministic hash
+    of the full delivery identity — never rand() (guide §2.5: retried map
+    tasks must reproduce the same row→partition assignment) — and hash
+    repartitioning avoids keyless repartition's local sort. At lake scale
+    the scan has many splits and this fan-out is unnecessary; it is a
+    bench-input shim, not a design assumption."""
+    e = _events(spark, sf)
+    n = spark.sparkContext.defaultParallelism
+    return e.repartition(n, F.xxhash64("user_id", "event_type", "event_id"))
+
+
 QUERIES = {}
 ORACLES = {}
 
@@ -54,7 +69,7 @@ def lww_agg(spark, sf):
     partial combine — same result, no sort shuffle, skew-immune). The
     oracle is intentionally the window SQL: both spellings must agree."""
     out = cdc.lww_resolve(
-        _events(spark, sf), key=("user_id", "event_type"), order=("ts", "event_id")
+        _events_wide(spark, sf), key=("user_id", "event_type"), order=("ts", "event_id")
     )
     return out.select("user_id", "event_type", "event_id", "value")
 

@@ -83,7 +83,12 @@ def q1_pricing_summary(spark, sf):
 )
 def q3_shipping_priority(spark, sf):
     c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    # shuffled-hash over sort-merge for the fact join (guide §3.1): the
+    # orders build side is narrow (3 columns post-prune) and its per-
+    # partition slice scales down with shuffle partitioning, so the hash
+    # build fits task memory at any cluster size, and both inputs skip the
+    # sort; AQE's skew-join splitting still applies to SHJ.
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1998-03-15").hint("shuffle_hash")
     li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
     rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
     return (
@@ -496,13 +501,29 @@ def manifest_diff(spark, sf):
 def rollup_lineage(spark, sf):
     """Grouping-sets rollup for lineage metrics (engine addition per
     SURVEY §2.4: not in the reference, needed for per-(partition, op)
-    lineage rollups)."""
-    return (
+    lineage rollups).
+
+    Shape (guide §2.3 — aggregate before you shuffle): a naive
+    ``rollup().agg()`` puts the Expand (×3 row duplication, one copy per
+    grouping set) UNDER the aggregation, tripling the rows every map task
+    aggregates. Pre-aggregating per (flag, status) first reduces the table
+    to one row per leaf group, and the rollup then expands only those few
+    rows. Exact-equal: COUNT(*) per rollup group == SUM of leaf counts,
+    and the DECIMAL leaf sums re-sum associatively with no precision loss
+    (the double cast happens once, at the end, like the oracle)."""
+    leaf = (
         _t(spark, sf, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("_sq"),
+        )
+    )
+    return (
+        leaf.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.sum("_sq").cast("double").alias("sum_qty"),
         )
     )
 
@@ -548,13 +569,30 @@ def ndv_approx(spark, sf):
 )
 def top1_per_group(spark, sf):
     """Top-1-per-group (≙ 'first match wins' selections,
-    traversal.py:52-54, generic_matching.py:437-445)."""
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    traversal.py:52-54, generic_matching.py:437-445).
+
+    Spelled as a ``max_by`` aggregation over the lexicographic ordering
+    struct (price DESC via max, orderkey ASC via negation) rather than the
+    oracle's ROW_NUMBER window: identical winners, but the aggregation
+    gets a map-side partial reduce — only one candidate per group per
+    input partition crosses the exchange, where the window shuffled and
+    sorted every row (guide §2.3 'aggregate before you shuffle'; the
+    window spelling of top-1 remains covered by ``lww_rank``). Measured
+    1.8× at sf1.0 in OPTIMIZATION_r06.md."""
     return (
         _t(spark, sf, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by(
+                F.struct(F.col("o_orderkey"), F.col("o_totalprice")),
+                F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("neg")),
+            ).alias("_w")
+        )
+        .select(
+            "o_custkey",
+            F.col("_w.o_orderkey").alias("o_orderkey"),
+            F.col("_w.o_totalprice").alias("o_totalprice"),
+        )
     )
 
 

@@ -169,9 +169,16 @@ def pii_scrub(spark, sf):
 )
 def dedup_exact(spark, sf):
     """Exact dedup: hash-groupBy on content, min id as canonical
-    representative. At scale this is one shuffle on the hash."""
+    representative. At scale this is one shuffle on the hash.
+
+    Reads ``_docs`` (not ``_docs_wide``): the per-row work is one md5 and
+    the partial aggregation ships only (hash, min_id, count) — so the
+    fan-out repartition shuffled the full document text to save almost no
+    per-row CPU (guide §2.3: shuffle keys and metadata, not payloads;
+    measured 3.4× in OPTIMIZATION_r06.md). At lake scale the scan has many
+    splits and the partial reduce parallelizes on its own."""
     return (
-        _docs_wide(spark, sf)
+        _docs(spark, sf)
         .groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n"))
     )

@@ -80,15 +80,26 @@ _COS_SQL = (
 def embed_cosine_topk(spark, sf):
     """Brute-force cosine top-3 for 10 query vectors: broadcast the query
     set, fold dot/norms JVM-side, window for top-k. The baseline every ANN
-    variant is measured against."""
-    e = _emb(spark, sf)
-    qs = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    variant is measured against.
+
+    Norms are PRE-computed as columns on each side before the join (guide
+    §1.2 'don't compute things you throw away'): inlining ``_norm`` into
+    the similarity expression re-folds the candidate's 64-dim norm once
+    per (candidate × query) pair and the query's once per pair too — an
+    11× overcount at 10 queries. The fold itself is unchanged, so the
+    double values (and the ranking) are bit-identical."""
+    e = _emb(spark, sf).withColumn("_cn", _norm(F.col("embedding")))
+    qs = (
+        _emb(spark, sf)
+        .where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("_qn"),
+        )
     )
     joined = e.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
-    sim = _dot(F.col("q_emb"), F.col("embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
-    )
+    sim = _dot(F.col("q_emb"), F.col("embedding")) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         joined.withColumn("sim", sim)
@@ -115,10 +126,18 @@ def embed_near_dup(spark, sf):
     label (candidate pairs only within a block — the anti-cross-join
     discipline that survives 100×)."""
     e = _emb(spark, sf)
-    a = e.select(F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("label").alias("lb"), F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    # norms precomputed per side before the join (see embed_cosine_topk):
+    # inlined norms would re-fold once per candidate pair
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("_na"),
+    )
+    b = e.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"), _norm(F.col("embedding")).alias("_nb"),
+    )
     pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("a") < F.col("b")))
-    sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb"))
     w = Window.partitionBy("label").orderBy(F.col("sim").desc(), "a", "b")
     return (
         pairs.withColumn("sim", sim)
