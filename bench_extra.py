@@ -141,7 +141,32 @@ def probe_replay():
     shutil.rmtree(work, ignore_errors=True)
 
 
+def sweep_queries():
+    """noop-sink median-of-3 for EVERY registered query at $SPARK_GRAFT_SF_DIR
+    — the per-operator checklist evidence (bench.py times only the headline
+    ten + replay)."""
+    from dibbs_ecr_refiner_spark.queries import all_queries
+    from dibbs_ecr_refiner_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-extra-sweep")
+    out = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, SF_DIR)
+        spark.sparkContext.setJobDescription(f"sweep:{name}")
+        df.write.format("noop").mode("overwrite").save()
+        trials = []
+        for _ in range(3):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            trials.append(round(time.time() - t0, 3))
+        out[name] = sorted(trials)[1]
+        print(f"{name:30s} {out[name]:7.3f}  {trials}", flush=True)
+    print(json.dumps({"sf_dir": SF_DIR, "sweep": out}))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "probe"
     if mode == "probe":
         probe_replay()
+    elif mode == "sweep":
+        sweep_queries()

@@ -261,14 +261,28 @@ class ReplayEngine:
         df = self.table.read(include_tombstones=True)
         return enrich_displays(df, self.plan).where(~F.col("_deleted"))
 
-    def fold_deltas(self, buckets: list[int] | None = None) -> dict:
+    def fold_deltas(
+        self,
+        buckets: list[int] | None = None,
+        max_buckets_per_commit: int | None = None,
+    ) -> dict:
         """Compact merge-on-read deltas into base files, recomputing the
         display enrichment over the resolved rows so the folded table is
-        byte-equal to a COW replay of the same log."""
+        byte-equal to a COW replay of the same log.
+
+        ``max_buckets_per_commit`` bounds a big fold's transient scratch to
+        O(k·bucket) by folding in groups of k buckets, one atomic commit
+        each — the disk-bounded convergence fold a 10^9-event table needs
+        (see maintenance.compact)."""
         from .lake.maintenance import compact
 
         plan = self.plan
-        return compact(self.table, buckets=buckets, post=lambda d: enrich_displays(d, plan))
+        return compact(
+            self.table,
+            buckets=buckets,
+            post=lambda d: enrich_displays(d, plan),
+            max_buckets_per_commit=max_buckets_per_commit,
+        )
 
     def _pending_delta_buckets(self) -> list[int]:
         snap = self.table.current_snapshot()

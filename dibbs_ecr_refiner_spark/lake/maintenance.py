@@ -30,10 +30,23 @@ def compact(
     buckets: list[int] | None = None,
     drop_tombstones_below: int | None = None,
     post=None,
+    max_buckets_per_commit: int | None = None,
 ) -> dict:
     """Rewrite ``buckets`` (default: all with >1 file, any merge-on-read
     delta file, or any file when GC'ing) as one base file each; optionally
     drop tombstones with change_lsn <= drop_tombstones_below.
+
+    ``max_buckets_per_commit=k`` bounds the TRANSIENT scratch of a big
+    fold: instead of reading + shuffling + staging the entire selection in
+    ONE commit — O(table) scratch on the shuffle/staging volume, which is
+    exactly how a 10^9-event convergence fold dies with ENOSPC — the
+    selection is folded in groups of k buckets, one atomic snapshot commit
+    per group. Every intermediate snapshot is a valid table (the groups
+    partition the bucket set, and an un-folded bucket still LWW-resolves
+    at read time), a crash between groups leaves the completed groups
+    committed and the rest still pending (``should_fold`` /
+    ``_pending_delta_buckets`` re-derive them), and the final state is
+    row-identical to a one-shot fold. Scratch per commit is O(k·bucket).
 
     Folding MOR deltas happens for free: ``table.read`` LWW-resolves them,
     and the rewrite commits plain base files (``kind`` absent), so the
@@ -59,6 +72,29 @@ def compact(
             buckets = sorted(b for b, n in by_bucket.items() if n > 1 or b in delta_buckets)
     if not buckets:
         return {"skipped": True, "reason": "nothing to compact"}
+
+    if max_buckets_per_commit is not None and len(buckets) > max_buckets_per_commit:
+        k = int(max_buckets_per_commit)
+        if k < 1:
+            raise ValueError("max_buckets_per_commit must be >= 1")
+        results = []
+        for i in range(0, len(buckets), k):
+            results.append(
+                compact(
+                    table,
+                    buckets=buckets[i : i + k],
+                    drop_tombstones_below=drop_tombstones_below,
+                    post=post,
+                )
+            )
+        done = [r for r in results if not r.get("skipped")]
+        return {
+            "grouped": True,
+            "commits": len(done),
+            "compacted_buckets": sum(r.get("compacted_buckets", 0) for r in done),
+            "snapshot_id": done[-1]["snapshot_id"] if done else None,
+            "results": results,
+        }
 
     # Fold pipeline shape (measured A/B in OPTIMIZATION_r06.md): the
     # resolved read keeps the LWW's map-side PARTIAL reduce — fold input

@@ -16,44 +16,43 @@ from . import cdcq, multimodal, relational, sampling, temporal, text, vectors
 _MODULES = (temporal, relational, cdcq, text, vectors, multimodal, sampling)
 
 # The driver's correctness sweep checks at most ~50 queries per round, in
-# registry order; the registry holds 76. Rotation policy: least-recently
+# registry order; the registry holds 77. Rotation policy: least-recently
 # driver-checked first, so every query gets a driver CORRECTNESS row at
-# least every other round. Round-5 front of the line = the 26 queries
-# r04's 50-row window cut (the LLM-pipeline families — dedup, ANN,
-# multimodal, sampling, text — all green in r03 + local re-runs, but
-# unchecked for one round), then the new r5 queries so they get a driver
-# row on their first round. Update this list each round from the latest
-# CORRECTNESS_r{N}.json.
+# least every other round. Round-6 front of the line = the 27 queries
+# CORRECTNESS_r05's 50-row window cut (last driver-checked r04: the
+# lww/window/scalar/streaming-span family plus the TPC-H breadth rows) —
+# which this round also makes the freshest evidence for the optimized
+# top1_per_group / lww_agg / rollup_lineage rewrites. Update this list
+# each round from the latest CORRECTNESS_r{N}.json.
 _CHECK_FIRST = [
-    # not sampled by r04's window (last driver-checked r03)
-    "group_count",
-    "pii_scrub",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "dedup_minhash_verified",
-    "dedup_clusters",
-    "embed_cosine_topk",
-    "embed_near_dup",
-    "ann_lsh_bucket",
-    "ann_topk",
-    "ann_ivf_topk",
-    "mm_decode_stub",
-    "mm_resize_meta",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    "split_assign",
-    "pack_sequences",
-    "domain_mix_sample",
-    "split_stratified",
-    # new in r5 — first driver check
-    "validate_rows",
+    # not sampled by r05's window (last driver-checked r04)
+    "manifest_diff",
+    "rollup_lineage",
+    "ndv_exact",
+    "ndv_approx",
+    "top1_per_group",
+    "union_dedup",
+    "explode_distinct",
+    "deterministic_id",
+    "ts_format",
+    "map_lookup",
+    "json_extract",
+    "pivot_status",
+    "q5_supplier_volume",
+    "q18_large_orders",
+    "lww_rank",
+    "lww_agg",
+    "dedup_deliveries",
+    "high_watermark",
+    "ordered_turns",
+    "frame_context",
+    "rule_precedence",
+    "sessionize",
+    "percentiles",
+    "config_events",
+    "session_window_agg",
+    "cdc_source_span",
+    "repetition_score",
 ]
 
 

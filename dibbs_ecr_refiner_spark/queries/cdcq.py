@@ -23,10 +23,22 @@ def _events_wide(spark: SparkSession, sf: str) -> DataFrame:
     core unless explicitly spread. The spread key is a deterministic hash
     of the full delivery identity — never rand() (guide §2.5: retried map
     tasks must reproduce the same row→partition assignment) — and hash
-    repartitioning avoids keyless repartition's local sort. At lake scale
-    the scan has many splits and this fan-out is unnecessary; it is a
-    bench-input shim, not a design assumption."""
+    repartitioning avoids keyless repartition's local sort.
+
+    Size-adaptive (derive from input size, not a constant): below a few MB
+    the exchange's fixed cost exceeds the single-core work it parallelizes
+    (measured +0.2s at sf0.1 vs −0.75s at sf1.0), so small inputs pass
+    through. At lake scale the scan has many splits and the fan-out branch
+    never fires; it is a bench-input shim, not a design assumption."""
     e = _events(spark, sf)
+    try:
+        import os
+
+        small = os.path.getsize(f"{sf}/events.parquet") < 8 * 1024 * 1024
+    except OSError:
+        small = False
+    if small:
+        return e
     n = spark.sparkContext.defaultParallelism
     return e.repartition(n, F.xxhash64("user_id", "event_type", "event_id"))
 

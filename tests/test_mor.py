@@ -107,6 +107,41 @@ def test_mor_fold_converges_to_cow(spark, tmp_path, changes):
     assert _rows(mor_table.read()) == _rows(cow_table.read())
 
 
+def test_grouped_fold_equals_oneshot_with_valid_chain(spark, tmp_path, changes):
+    """Disk-bounded fold: max_buckets_per_commit=k folds in groups of k
+    buckets, one atomic snapshot commit per group — O(k·bucket) transient
+    scratch instead of O(table). The grouped result must equal a one-shot
+    fold row-for-row, and every intermediate snapshot must be a valid
+    readable table (a crash between groups leaves committed groups folded
+    and the rest still pending)."""
+    one_t, one_e = _fresh(spark, tmp_path, "one")
+    one_e.replay(changes, mode="mor")
+    one_e.fold_deltas()
+
+    grp_t, grp_e = _fresh(spark, tmp_path, "grp")
+    grp_e.replay(changes, mode="mor")
+    pending = sorted(
+        {f["bucket"] for f in grp_t.current_snapshot()["files"] if f.get("kind") == "delta"}
+    )
+    assert len(pending) > 3, "fixture must leave several delta buckets"
+    v0 = grp_t.current_snapshot()["snapshot_id"]
+    res = grp_e.fold_deltas(max_buckets_per_commit=3)
+    assert res["grouped"]
+    assert res["commits"] == -(-len(pending) // 3)  # ceil
+    vN = grp_t.current_snapshot()["snapshot_id"]
+    assert vN == v0 + res["commits"], "one snapshot commit per group"
+
+    # final state: all base files, row-identical to the one-shot fold
+    assert all(f.get("kind", "base") == "base" for f in grp_t.current_snapshot()["files"])
+    assert _rows(grp_t.read()) == _rows(one_t.read())
+
+    # every intermediate snapshot in the chain is a valid table with the
+    # same resolved live content (folding changes layout, never rows)
+    n = grp_t.read().count()
+    for v in range(v0, vN + 1):
+        assert grp_t.read(version=v).count() == n
+
+
 def test_auto_mode_switches_cow_to_mor_and_converges(spark, tmp_path, changes):
     """The default replay mode is auto: COW while the batch is large
     relative to the table (bulk backfill), MOR once the table dwarfs the

@@ -63,9 +63,14 @@ def main() -> None:
 
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name=f"scaleup-chunked-{events}", cores=cores)
-    work = tempfile.mkdtemp(
-        prefix="scaleup1b-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    # SPARK_GRAFT_SCALEUP_DIR: pick the roomy volume. At 10^9 events the
+    # table alone is ~30 GB and the final fold needs transient scratch on
+    # top — /dev/shm is the right default only while table+scratch fit RAM.
+    base_dir = os.environ.get(
+        "SPARK_GRAFT_SCALEUP_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
+    work = tempfile.mkdtemp(prefix="scaleup1b-", dir=base_dir)
     per_chunk = events // chunks
     out: dict = {
         "metric": "scaleup_replay_chunked",
@@ -126,9 +131,23 @@ def main() -> None:
         out["events_per_sec"] = round(actual_events / ingest_sec, 1)
         out["actual_events"] = actual_events
 
+        # Disk-bounded convergence fold: group size derived from the
+        # manifest's own byte accounting so per-commit transient scratch
+        # (read + shuffle + staged rewrite of the group) stays under the
+        # budget — the unbounded one-commit fold is exactly what died with
+        # ENOSPC at 1.05B events. Scale-adaptive, not a constant: k shrinks
+        # as buckets grow.
         t0 = time.time()
-        eng.fold_deltas()
+        snap = table.current_snapshot()
+        table_bytes = sum(int(f.get("bytes", 0)) for f in snap["files"])
+        n_buckets = int(snap["num_buckets"])
+        per_bucket = max(1, table_bytes // n_buckets)
+        budget = int(os.environ.get("SPARK_GRAFT_FOLD_SCRATCH_BYTES", 4 * 1024**3))
+        k = max(1, min(n_buckets, budget // per_bucket))
+        fold_res = eng.fold_deltas(max_buckets_per_commit=k)
         out["fold_sec"] = round(time.time() - t0, 1)
+        out["fold_group_buckets"] = k
+        out["fold_commits"] = int(fold_res.get("commits", 1)) if fold_res else 1
         out["events_per_sec_incl_fold"] = round(
             actual_events / (ingest_sec + out["fold_sec"]), 1
         )
@@ -146,6 +165,20 @@ def main() -> None:
         out["sampled_live_rows"] = got.count()
         out["oracle_check_sec"] = round(time.time() - t0, 1)
         out["live_rows"] = table.read().count()
+
+        # Data-quality stamp at scale: the row-constraint backstop over the
+        # folded table (default transcript rules), outcome appended to the
+        # table's _validations.jsonl and echoed into this record.
+        from dibbs_ecr_refiner_spark.operators.validate import validate_table
+
+        t0 = time.time()
+        vrec = validate_table(table)
+        out["validation"] = {
+            "ok": vrec["ok"],
+            "violations": vrec["violations"],
+            "rules": vrec["rules"],
+            "seconds": round(time.time() - t0, 1),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
