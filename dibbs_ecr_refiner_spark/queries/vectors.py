@@ -37,6 +37,17 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/embeddings.parquet")
 
 
+def _emb_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """embeddings fanned out across cores (same rationale as
+    ``text._docs_wide``): the table arrives as ONE small parquet file =
+    one scan partition, so the heavy per-row vector folds (96 hyperplane
+    projections per vector in ann_topk, ncells cosine assignments in
+    ann_ivf_topk) run on a single core without this. Values and fold
+    order are untouched — results are bit-identical (verified) — and at
+    lake scale the scan has many splits, making this a cost no-op."""
+    return _emb(spark, sf).repartition(spark.sparkContext.defaultParallelism)
+
+
 # left-to-right double fold of the elementwise product (deterministic)
 _DOT_SQL = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
@@ -125,7 +136,7 @@ def embed_near_dup(spark, sf):
     """Embedding-cosine near-dup with label blocking: most-similar pair per
     label (candidate pairs only within a block — the anti-cross-join
     discipline that survives 100×)."""
-    e = _emb(spark, sf)
+    e = _emb_wide(spark, sf)
     # norms precomputed per side before the join (see embed_cosine_topk):
     # inlined norms would re-fold once per candidate pair
     a = e.select(
@@ -178,7 +189,7 @@ def ann_lsh_bucket(spark, sf):
     folded into the plan; bucket = sign-bit string. ANN search then
     equi-joins queries to candidates on bucket and reranks exactly —
     shuffle on bucket, never n²."""
-    e = _emb(spark, sf)
+    e = _emb_wide(spark, sf)
     bits = []
     for signs in _planes():
         plane = F.array(*[F.lit(float(s)) for s in signs])
@@ -256,7 +267,7 @@ def ann_topk(spark, sf):
     joins on (table, bucket) — shuffle keyed on the bucket, never n² — and
     only candidates pay the exact similarity fold. Recall ≥0.9 vs the
     brute-force baseline is pinned in tests/test_text_vectors.py."""
-    e = _emb(spark, sf)
+    e = _emb_wide(spark, sf)
     planes = _topk_planes()
     band_structs = []
     for t in range(_N_TABLES):
@@ -287,7 +298,7 @@ def ann_topk(spark, sf):
     )
     # norms precomputed once per vector (see embed_cosine_topk) — inlined
     # norms would re-fold per candidate pair
-    en = _emb(spark, sf).withColumn("_n", _norm(F.col("embedding")))
+    en = _emb_wide(spark, sf).withColumn("_n", _norm(F.col("embedding")))
     qe = en.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -389,8 +400,10 @@ def ann_ivf_topk(spark, sf):
     # centroid-assignment join evaluates the similarity for (vector ×
     # ncells) pairs, and inlined norms re-folded the 64-dim vector norm
     # ncells× and each centroid norm N× — measured 2.7× at sf1.0.
-    e = _emb(spark, sf).withColumn("_en", _norm(F.col("embedding")))
-    ncells, nprobe = _ivf_params(e.count())
+    e = _emb_wide(spark, sf).withColumn("_en", _norm(F.col("embedding")))
+    # corpus count from the narrow scan (a count over the fanned-out frame
+    # would pay the repartition exchange just to count rows)
+    ncells, nprobe = _ivf_params(_emb(spark, sf).count())
     cent = e.where(F.col("vec_id") < ncells).select(
         F.col("vec_id").alias("cell"),
         F.col("embedding").alias("c_emb"),

@@ -235,6 +235,12 @@ def test_all_null_ts_batch_ingests(spark, tmp_path, changes):
     one = nullts.where(F.col("ingest_file") == nullts.agg(F.min("ingest_file")).collect()[0][0])
     res = eng2.apply_batch(one, "b-null-ts", mode="mor")
     assert not res.get("skipped")
+    # the per-batch path's resulting STATE must match its oracle too — a
+    # wrong-but-non-skipping apply on all-NULL ts would otherwise pass
+    # (r5 advice)
+    assert final_state_matches(
+        eng2.read_refined(), batch_oracle(one, eng2.plan)
+    )
     assert final_state_matches(
         eng.read_refined(), batch_oracle(nullts, eng.plan)
     )
