@@ -408,9 +408,10 @@ def main(argv=None) -> int:
     r.add_argument("--config", default=None, help="config store root (default: built-in plan)")
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--mode", choices=["auto", "cow", "mor"], default="auto",
-                   help="auto (default) picks cow for bulk backfill and mor at steady state "
-                        "with a final fold; cow rewrites touched buckets; mor commits delta "
-                        "files resolved at read")
+                   help="auto (default) picks the cheaper commit mode: mor throughout when "
+                        "the scheduled completion fold makes cow's rewrites double-work, "
+                        "cow only for 1-2 bulk batches; cow rewrites touched buckets; mor "
+                        "commits delta files resolved at read")
     r.add_argument("--fold-every", type=int, default=None,
                    help="mor only: compact deltas every N committed batches")
 

@@ -310,7 +310,12 @@ class ReplayEngine:
         ``mode="auto"`` (default) resolves per batch: COW while the batch
         is large relative to the table (bulk backfill), MOR once the table
         dwarfs the batch (steady-state ingest, where COW's measured write
-        amplification is 14-18×). Mid-replay folding is DEMAND-driven:
+        amplification is 14-18×). With ``final_fold="all"`` a lookahead
+        over the known batch list overrides the ramp: if any batch would
+        resolve MOR, the completion fold will rewrite its buckets anyway,
+        so every batch commits MOR and each row is written exactly twice
+        (ingest + fold) instead of the COW ramp's rewrite-then-fold
+        double-pay (see the cost model at the lookahead below). Mid-replay folding is DEMAND-driven:
         after each MOR batch (checked every ``fold_every`` of them, default
         8) only the buckets whose pending delta count exceeds the
         ``should_fold`` threshold are compacted — read amplification stays
@@ -373,13 +378,39 @@ class ReplayEngine:
                 ]
         if mode == "auto" and fold_every is None:
             fold_every = 8
+        # Completion-fold lookahead (the whole-replay form of the COW/MOR
+        # trade): with ``final_fold="all"`` the fold rewrites every bucket
+        # any MOR batch touches, so a COW batch in the SAME replay pays its
+        # table-so-far rewrite now AND the fold rewrites the result again —
+        # pure double-write. Cost model (equal batches of b rows, n
+        # batches): heuristic ramp ≈ (2n+3)·b rows written vs all-MOR+fold
+        # 2n·b, so once ANY batch would resolve MOR, committing every batch
+        # MOR is never worse and saves the whole ramp. replay() knows the
+        # batch list up front — simulate the per-batch heuristic on the
+        # known sizes; only replays that stay COW throughout (1-2 bulk
+        # batches: there COW genuinely wins, no fold happens) keep it.
+        # ``final_fold="threshold"``/``"none"`` keep the per-batch
+        # heuristic: no scheduled sweep, so COW's read-optimal commits are
+        # not thrown away. apply_batch() callers (no fold knowledge) are
+        # untouched.
+        force_mor = False
+        if mode == "auto" and final_fold == "all":
+            running = self._live_rows_estimate()
+            for bid in sorted(by_batch):
+                b = sum(by_batch[bid].values())
+                if running > self.MOR_THRESHOLD * max(1, b):
+                    force_mor = True
+                    break
+                running += b
         t0 = time.time()
         mor_batches = 0
         for batch_id in sorted(by_batch):
             touched, hot = _touched_and_hot(by_batch[batch_id])
             batch = changes.where(F.col(batch_col) == batch_id)
             n_batch_events = sum(by_batch[batch_id].values())
-            batch_mode = self._resolve_mode(mode, n_batch_events)
+            batch_mode = (
+                "mor" if force_mor else self._resolve_mode(mode, n_batch_events)
+            )
             tb = time.time()
             res = self.apply_batch(
                 batch,

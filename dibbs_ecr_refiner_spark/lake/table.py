@@ -187,18 +187,56 @@ def xxhash64(data: bytes, seed: int = 42) -> int:
     return h ^ (h >> 32)
 
 
+def _widen_nullability(old: T.DataType, new: T.DataType) -> T.DataType | None:
+    """The nullability-widened union of two types that are equal up to
+    nullability, or None when they differ structurally (a REAL type
+    change). Nullability is metadata, not physical layout: a parquet
+    round-trip normalizes nested required fields to optional, so a
+    maintenance rewrite feeding read-back rows into ``merge`` must not
+    trip the incompatible-type gate on required→optional (the same
+    promotion Iceberg allows). Widening is monotone — a field once
+    optional stays optional."""
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        if [f.name for f in old.fields] != [f.name for f in new.fields]:
+            return None
+        fields = []
+        for of, nf in zip(old.fields, new.fields):
+            dt = _widen_nullability(of.dataType, nf.dataType)
+            if dt is None:
+                return None
+            fields.append(T.StructField(of.name, dt, of.nullable or nf.nullable))
+        return T.StructType(fields)
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        dt = _widen_nullability(old.elementType, new.elementType)
+        if dt is None:
+            return None
+        return T.ArrayType(dt, old.containsNull or new.containsNull)
+    if isinstance(old, T.MapType) and isinstance(new, T.MapType):
+        kt = _widen_nullability(old.keyType, new.keyType)
+        vt = _widen_nullability(old.valueType, new.valueType)
+        if kt is None or vt is None:
+            return None
+        return T.MapType(kt, vt, old.valueContainsNull or new.valueContainsNull)
+    return old if old == new else None
+
+
 def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
     """Additive schema merge: old column order preserved, new columns
-    appended nullable. Type changes are incompatible."""
+    appended nullable. Type changes are incompatible (nullability-only
+    differences widen, see ``_widen_nullability``)."""
     by_name = {f.name: f for f in new.fields}
     fields: list[T.StructField] = []
     for f in old.fields:
         nf = by_name.get(f.name)
-        if nf is not None and nf.dataType != f.dataType:
+        if nf is None:
+            fields.append(f)
+            continue
+        dt = _widen_nullability(f.dataType, nf.dataType)
+        if dt is None:
             raise IncompatibleSchemaChange(
                 f"column {f.name!r}: {f.dataType.simpleString()} -> {nf.dataType.simpleString()}"
             )
-        fields.append(f)
+        fields.append(T.StructField(f.name, dt, f.nullable or nf.nullable))
     old_names = {f.name for f in old.fields}
     for f in new.fields:
         if f.name not in old_names:
@@ -250,15 +288,26 @@ def _merge_columns(
     are appended with a FRESH id."""
     by_name = {c["name"]: c for c in cols}
     out = [dict(c) for c in cols]
+    by_name_out = {c["name"]: c for c in out}
     for f in delta.fields:
         c = by_name.get(f.name)
         if c is None:
             out.append({"id": next_id, "name": f.name, "type": f.dataType.jsonValue()})
             next_id += 1
-        elif T._parse_datatype_json_value(c["type"]) != f.dataType:
+            continue
+        registered = T._parse_datatype_json_value(c["type"])
+        if registered == f.dataType:
+            continue
+        widened = _widen_nullability(registered, f.dataType)
+        if widened is None:
             raise IncompatibleSchemaChange(
                 f"column {f.name!r}: {c['type']} -> {f.dataType.simpleString()}"
             )
+        # nullability-only difference: keep the id, widen the registered
+        # type (required→optional promotion — a maintenance rewrite's
+        # parquet read-back normalizes nested required fields to optional)
+        if widened != registered:
+            by_name_out[f.name]["type"] = widened.jsonValue()
     return out, next_id
 
 
@@ -1104,10 +1153,17 @@ class LakeTable:
         # turn_idx) — maintenance rewrites feed already-LWW-resolved
         # content, so re-reducing here would sort+aggregate the full
         # rewrite for identical winners (the old shape paid exactly that).
+        # Grouping-key ORDER is chosen so the SortAggregate's output
+        # ordering (_bucket, conv_id, turn_idx, _salt) has the file-layout
+        # sort (_bucket, conv_id, turn_idx) as a prefix — the staged
+        # write's sortWithinPartitions is then satisfied by the aggregate's
+        # ordering and Catalyst elides the second full-batch SortExec
+        # (guide §2.4: operations keyed the same way share work). Grouping
+        # is a set, so winners are unchanged.
         merged = (
             work
             if assume_reduced
-            else lww_resolve(work, key=("_bucket", "_salt", *KEY), order=ORDER)
+            else lww_resolve(work, key=("_bucket", *KEY, "_salt"), order=ORDER)
         )
         if post_reduce is not None:
             # the caller's post-reduce transform (guarded refinement +

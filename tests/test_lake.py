@@ -319,6 +319,52 @@ def test_incompatible_type_change_fails(spark):
         _merge_schemas(old, new)
 
 
+def test_nullability_only_difference_widens_not_fails(spark, tmp_path):
+    """required→optional is a promotion, not an incompatible change: a
+    maintenance rewrite feeds parquet READ-BACK rows into merge, and the
+    round-trip normalizes nested required fields to optional — the fold of
+    a MOR table whose first commit registered non-nullable nested fields
+    must widen the registered type (same id), never raise."""
+    import pyspark.sql.types as T
+
+    item = lambda nullable: T.ArrayType(  # noqa: E731
+        T.StructType(
+            [
+                T.StructField("code", T.StringType(), nullable),
+                T.StructField("flag", T.BooleanType(), True),
+            ]
+        ),
+        containsNull=nullable,
+    )
+    schema_strict = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("change_lsn", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), False),
+            T.StructField("items", item(False), True),
+        ]
+    )
+    table = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    df1 = spark.createDataFrame([("c1", 0, TS, 1, False, [("x", True)])], schema_strict)
+    table.merge(df1, "b1", mode="mor")
+    ids1 = {c["name"]: c["id"] for c in table.current_snapshot()["columns"]}
+
+    # read-back shape: everything nullable (what compact/fold feeds merge)
+    df2 = table.read(include_tombstones=True, resolve_deltas=False)
+    assert df2.schema["items"].dataType != item(False)  # round-trip widened
+    table.merge(df2, "b2", touched_buckets=[0, 1, 2, 3], replace_buckets=True,
+                advance_watermarks=False, assume_reduced=True)
+
+    snap = table.current_snapshot()
+    ids2 = {c["name"]: c["id"] for c in snap["columns"]}
+    assert ids1 == ids2, "widening must keep field ids stable"
+    reg = {c["name"]: c["type"] for c in snap["columns"]}
+    assert T._parse_datatype_json_value(reg["items"]) == df2.schema["items"].dataType
+    assert {(r["conv_id"], r["turn_idx"]) for r in table.read().collect()} == {("c1", 0)}
+
+
 def test_crash_before_commit_is_invisible_then_rerun_heals(spark, tmp_path):
     table = mk(spark, tmp_path, [("c1", 0, "v1", 1, False, None)])
     v1 = table.current_snapshot()["snapshot_id"]

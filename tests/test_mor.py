@@ -95,7 +95,7 @@ def test_mor_writes_deltas_without_rewriting_base(spark, tmp_path, changes):
 
 def test_mor_fold_converges_to_cow(spark, tmp_path, changes):
     cow_table, cow_eng = _fresh(spark, tmp_path, "cow")
-    cow_eng.replay(changes)
+    cow_eng.replay(changes, mode="cow")  # explicit: the cross-mode reference
     mor_table, mor_eng = _fresh(spark, tmp_path, "mor")
     mor_eng.replay(changes, mode="mor")
     res = mor_eng.fold_deltas()
@@ -142,17 +142,7 @@ def test_grouped_fold_equals_oneshot_with_valid_chain(spark, tmp_path, changes):
         assert grp_t.read(version=v).count() == n
 
 
-def test_auto_mode_switches_cow_to_mor_and_converges(spark, tmp_path, changes):
-    """The default replay mode is auto: COW while the batch is large
-    relative to the table (bulk backfill), MOR once the table dwarfs the
-    batch — and a completed auto replay is fully converged (plain read ==
-    batch oracle, displays included) thanks to the final delta fold."""
-    table, eng = _fresh(spark, tmp_path)
-    stats = eng.replay(changes)  # default mode="auto"
-    assert stats.batches == PARAMS.n_batches
-
-    # mode switching actually happened: the first batch(es) committed COW
-    # (no delta files at that snapshot), later batches committed deltas
+def _added_kinds_per_commit(table, stats):
     kinds_by_snapshot = []
     for rec in stats.lineage:
         snap = table.snapshot(rec["snapshot_id"])
@@ -161,14 +151,68 @@ def test_auto_mode_switches_cow_to_mor_and_converges(spark, tmp_path, changes):
         prev_paths = {f["path"] for f in prev["files"]} if prev else set()
         added = [f for p, f in new_paths.items() if p not in prev_paths]
         kinds_by_snapshot.append({f.get("kind", "base") for f in added})
+    return kinds_by_snapshot
+
+
+def test_auto_mode_switches_cow_to_mor_and_converges(spark, tmp_path, changes):
+    """Auto mode WITHOUT a scheduled completion fold (final_fold=
+    "threshold") keeps the per-batch heuristic: COW while the batch is
+    large relative to the table (bulk backfill), MOR once the table dwarfs
+    the batch — and read_refined() equals the batch oracle."""
+    table, eng = _fresh(spark, tmp_path)
+    stats = eng.replay(changes, final_fold="threshold")
+    assert stats.batches == PARAMS.n_batches
+
+    # mode switching actually happened: the first batch(es) committed COW
+    # (no delta files at that snapshot), later batches committed deltas
+    kinds_by_snapshot = _added_kinds_per_commit(table, stats)
     assert "base" in kinds_by_snapshot[0], "first batch into an empty table must be COW"
     assert any("delta" in k for k in kinds_by_snapshot[1:]), "steady-state batches must be MOR"
+
+    assert final_state_matches(eng.read_refined(), batch_oracle(changes, eng.plan))
+
+
+def test_auto_with_final_fold_resolves_all_mor_and_converges(spark, tmp_path, changes):
+    """Auto mode WITH the default completion fold: the lookahead sees the
+    table will outgrow the batches (some batch would resolve MOR, making
+    the fold inevitable), so every batch commits MOR — each row is written
+    at most twice (ingest + fold) instead of the COW ramp's
+    rewrite-then-fold double-pay — and the completed replay still gives
+    the COW guarantee: no pending deltas, plain read == batch oracle,
+    displays included."""
+    table, eng = _fresh(spark, tmp_path)
+    stats = eng.replay(changes)  # default mode="auto", final_fold="all"
+    assert stats.batches == PARAMS.n_batches
+
+    # lookahead fired: every ingest commit is a delta commit
+    kinds_by_snapshot = _added_kinds_per_commit(table, stats)
+    assert all(k == {"delta"} for k in kinds_by_snapshot), kinds_by_snapshot
 
     # converged at completion: no pending deltas, plain read == oracle
     assert not any(
         f.get("kind", "base") == "delta" for f in table.current_snapshot()["files"]
     )
     assert _rows(table.read()) == _rows(batch_oracle(changes, eng.plan).select(*CMP_COLS))
+
+
+def test_auto_final_fold_small_replay_stays_cow(spark, tmp_path):
+    """A 1-2 bulk-batch replay stays COW under the lookahead (the
+    simulated heuristic never reaches MOR): COW genuinely wins there —
+    fewer total rows written than MOR + a whole-table fold — and no
+    completion fold is needed (nothing pending)."""
+    table, eng = _fresh(spark, tmp_path)
+    two = generate_changes(
+        spark,
+        ChangeLogParams(
+            n_conversations=40, turns_per_conv=8, n_events=1000, n_batches=2
+        ),
+    )
+    stats = eng.replay(two)  # default mode="auto", final_fold="all"
+    assert stats.batches == 2
+    kinds_by_snapshot = _added_kinds_per_commit(table, stats)
+    assert all(k == {"base"} for k in kinds_by_snapshot), kinds_by_snapshot
+    assert stats.fold_seconds == 0.0
+    assert _rows(table.read()) == _rows(batch_oracle(two, eng.plan).select(*CMP_COLS))
 
 
 def test_mor_replay_with_periodic_fold_matches_oracle(spark, tmp_path, changes):
