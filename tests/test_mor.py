@@ -769,3 +769,16 @@ def test_continuous_pipeline_threshold_final_fold_long_replay(spark, tmp_path, c
     # (that's the point — COW's guarantee is deferred), but plain read()'s
     # core columns are still oracle-equal from the read-time LWW
     assert final_state_matches(table.read(), batch_oracle(seen, eng.plan))
+
+    # demand-driven + disk-bounded compose: a later operator decision to
+    # converge the pipeline's table uses the grouped fold, and the result
+    # is the full COW guarantee (all base files, displays included)
+    pending = eng._pending_delta_buckets()
+    if pending:
+        res = eng.fold_deltas(max_buckets_per_commit=2)
+        if res.get("grouped"):
+            assert res["commits"] == -(-len(pending) // 2)
+    assert not any(
+        f.get("kind", "base") == "delta" for f in table.current_snapshot()["files"]
+    )
+    assert _rows(table.read()) == _rows(batch_oracle(seen, eng.plan).select(*CMP_COLS))
