@@ -101,14 +101,17 @@ def normalize_changes(changes: DataFrame) -> DataFrame:
     (op is folded into ``_deleted``; the batch id lives in the lineage
     manifest) — dropping them here cuts bytes/row through the LWW shuffle,
     the parquet write, AND every later touched-bucket re-read."""
-    return (
-        changes.withColumn("_deleted", F.col("op") == "delete")
-        .withColumn("_outcome", F.lit(None).cast("string"))
-        .withColumn("_matched_code", F.lit(None).cast("string"))
-        .withColumn("_matched_display", F.lit(None).cast("string"))
-        .withColumn("_tier", F.lit(None).cast("int"))
-        .withColumn("_provenance", F.lit(None).cast("string"))
-        .drop("op", "ingest_file")
+    # single projection (one plan node, one py4j round trip) — column
+    # order identical to the old withColumn-chain + drop spelling
+    keep = [c for c in changes.columns if c not in ("op", "ingest_file")]
+    return changes.select(
+        *keep,
+        (F.col("op") == "delete").alias("_deleted"),
+        F.lit(None).cast("string").alias("_outcome"),
+        F.lit(None).cast("string").alias("_matched_code"),
+        F.lit(None).cast("string").alias("_matched_display"),
+        F.lit(None).cast("int").alias("_tier"),
+        F.lit(None).cast("string").alias("_provenance"),
     )
 
 
@@ -135,6 +138,14 @@ class ReplayEngine:
         self.spark = spark
         self.table = table
         self.plan = plan
+        # The compiled refinement and the config display map are pure
+        # Column expression trees (DataFrame-independent) — build them once
+        # per engine, not once per batch: per-batch reconstruction was
+        # ~0.2 s of py4j driver chatter (profiled, OPTIMIZATION_r06.md).
+        self._refine = compile_refinement(plan, guarded=True)
+        from .operators.enrich import config_display_expr
+
+        self._cfg_display = config_display_expr(plan)
 
     # auto mode switches to merge-on-read once the table holds more than
     # MOR_THRESHOLD× the batch's rows: COW rewrites O(touched buckets) per
@@ -222,7 +233,7 @@ class ReplayEngine:
         # conversation-scoped (not row-pure), so under MOR it is batch-local
         # here and converges globally at read_refined()/compaction-fold.
         delta = normalize_changes(changes)
-        refine = compile_refinement(self.plan, guarded=True)
+        refine = self._refine
         plan = self.plan
         # Display enrichment source split by commit mode (guide §2.4 —
         # remove dead shuffles/subtrees): a COW merge rewrites the whole
@@ -234,16 +245,22 @@ class ReplayEngine:
         # — so the narrative index there is dead work that doubles the
         # batch pipeline (the index branch re-evaluates the LWW aggregate
         # subtree; measured ~2× per-batch cost in OPTIMIZATION_r06.md).
-        narrative = mode != "mor"
-        return self.table.merge(
-            delta,
-            batch_id,
-            touched_buckets=touched,
+        if mode != "mor":
             # refine the fresh LWW winners, then recompute display
             # enrichment over the whole touched-bucket content so narrative
             # turns arriving in later batches back-fill earlier displays
             # (converging to the batch oracle's global view)
-            post_reduce=lambda d: enrich_displays(refine(d), plan, narrative=narrative),
+            post = lambda d: enrich_displays(refine(d), plan)  # noqa: E731
+        else:
+            # identical to enrich_displays(..., narrative=False), with the
+            # config display Column prebuilt once per engine
+            cfg = self._cfg_display
+            post = lambda d: refine(d).withColumn("_matched_display", cfg)  # noqa: E731
+        return self.table.merge(
+            delta,
+            batch_id,
+            touched_buckets=touched,
+            post_reduce=post,
             hot_buckets=hot,
             bucket_lsn_max=bucket_lsn_max,
             bucket_ts_range=bucket_ts_range,

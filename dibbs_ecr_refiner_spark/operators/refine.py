@@ -249,6 +249,13 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
             text = F.when(is_role, role_text).otherwise(text)
         return keep, outcome, text
 
+    # All Column trees are DataFrame-independent (unresolved expressions),
+    # so they are built ONCE at compile time and reused across every apply
+    # — per-batch reconstruction of these trees was ~0.2 s of py4j driver
+    # chatter per replay batch (profiled in OPTIMIZATION_r06.md).
+    keep_c, outcome_c, text_c = _branches()
+    pruned_items_c = _pruned_items()
+
     def apply(df: DataFrame) -> DataFrame:
         # Two chained Projects: the match column is computed once in the
         # first, referenced (cheaply) many times in the second. Requires
@@ -256,7 +263,7 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
         # expression is re-inlined per reference.
         if not guarded:
             out = df.withColumn("_matched_code", matched_code).withColumn("_tier", matched_tier)
-            keep, outcome, text = _branches()
+            keep, outcome, text = keep_c, outcome_c, text_c
             out = (
                 out.withColumn("_keep", keep)
                 .withColumn("_outcome", outcome)
@@ -265,7 +272,7 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
                 .withColumn("_provenance", provenance)
             )
             if "items" in df.columns:
-                out = out.withColumn("items", _pruned_items())
+                out = out.withColumn("items", pruned_items_c)
             return out
 
         # guarded: refine only fresh (unrefined) rows; CASE branches are
@@ -274,7 +281,7 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
         out = df.withColumn(
             "_matched_code", F.when(unref, matched_code).otherwise(F.col("_matched_code"))
         ).withColumn("_tier", F.when(unref, matched_tier).otherwise(F.col("_tier")))
-        keep, outcome, text = _branches()
+        keep, outcome, text = keep_c, outcome_c, text_c
         out = (
             out.withColumn(
                 "_deleted", F.when(unref, F.col("_deleted") | ~keep).otherwise(F.col("_deleted"))
@@ -290,7 +297,7 @@ def compile_refinement(plan: RefinePlan, guarded: bool = False):
         )
         if "items" in df.columns:
             out = out.withColumn(
-                "items", F.when(unref, _pruned_items()).otherwise(F.col("items"))
+                "items", F.when(unref, pruned_items_c).otherwise(F.col("items"))
             )
         # _outcome LAST: the guards above read it
         return out.withColumn("_outcome", F.when(unref, outcome).otherwise(F.col("_outcome")))

@@ -52,6 +52,12 @@ def get_spark(
         # (conv_id bucket hash + manifest stats) — opt in to the Python
         # Data Source pushdown protocol (off by default in Spark 4.1)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # PySpark 4 captures a Python call-site stack frame on EVERY
+        # DataFrame/Column API call for error enrichment; on the replay
+        # path that is thousands of inspect.stack probes per batch of pure
+        # driver overhead (profiled in OPTIMIZATION_r06.md). Errors still
+        # carry the JVM-side plan context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # 16g measured 4-7× faster than 48g on the replay workload: an
         # over-sized heap gives G1 a huge young gen whose evacuation pauses
         # and cache-hostile copying dominate; this workload streams data
